@@ -12,3 +12,7 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+# Import named-config registrations so `config.lookup('efficientnetv2-s')`
+# works right after `import automl_tpu`.
+from automl_tpu import configs as _configs  # noqa: E402,F401

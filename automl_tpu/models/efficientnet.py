@@ -357,14 +357,22 @@ class EfficientNet(Module):
           self.blocks.append(
               block_cls(rest, mcfg, name=f"blocks_{len(self.blocks)}"))
 
-    head_in = self.blocks[-1].args.output_filters
-    feature_size = round_filters(mcfg.feature_size or 1280, wc, div, mind,
-                                 skip=mcfg.fix_head_stem,
-                                 round_down_protect=protect)
-    self.head = Head(head_in, feature_size, mcfg.num_classes, mcfg)
+    if mcfg.get("no_head"):
+      # Detection backbones are stem+blocks only (ref: build_model_base,
+      # efficientdet/backbone/efficientnet_builder.py:292-318).
+      self.head = None
+    else:
+      head_in = self.blocks[-1].args.output_filters
+      feature_size = round_filters(mcfg.feature_size or 1280, wc, div, mind,
+                                   skip=mcfg.fix_head_stem,
+                                   round_down_protect=protect)
+      self.head = Head(head_in, feature_size, mcfg.num_classes, mcfg)
 
   def init(self, key):
-    return self.init_child(key, [self.stem, *self.blocks, self.head])
+    children = [self.stem, *self.blocks]
+    if self.head is not None:
+      children.append(self.head)
+    return self.init_child(key, children)
 
   def apply(self, params, x, train: bool = False, features_only: bool = False):
     policy = nn.get_policy()
@@ -387,6 +395,9 @@ class EfficientNet(Module):
     endpoints["features"] = x
     if features_only:
       return endpoints
+    if self.head is None:
+      raise ValueError("Backbone built with no_head=True supports only "
+                       "features_only=True")
     logits = self.head(params["head"], x, train)
     return policy.cast_to_output(logits)
 

@@ -1,0 +1,549 @@
+"""Decoder-only Transformer LM — TPU-native (GSPMD + scan + remat + KV cache).
+
+Capability parity with the reference's `hero` subproject (decoder-only LM in
+pure JAX): RMSNorm pre/post-LN blocks, gated FFN, RoPE, GQA (n_kv_heads),
+sliding-window causal masking, chunked local attention, logit soft-caps,
+tied embeddings, lax.scan over layers with jax.remat, in-place KV-cache
+decode via dynamic_update_slice, top-k/top-p sampling.
+
+Behavioral refs (semantics, not code):
+  layers/blocks      hero/model_lib.py:197-1123
+  masks/local attn   hero/model_lib.py:405-534 (sliding window, 2-chunk attn)
+  scan + remat       hero/model_lib.py:1057-1079
+  KV cache decode    hero/model_lib.py:733-760, 2268-2394
+  sharding specs     hero/config_lib.py:66-99 (GSPMD over replica/data/model)
+  soft caps          attn 50.0 (model_lib.py:549), final logits 30.0 (:1102)
+
+Sharding: a `ShardingConfig` of PartitionSpecs; constraints are applied with
+jax.lax.with_sharding_constraint when a mesh is active (jax.set_mesh)
+so the same model code runs single-chip or on any mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from automl_tpu.config import Config
+from automl_tpu.nn.module import Module
+
+ATTN_LOGIT_CAP = 50.0
+FINAL_LOGIT_CAP = 30.0
+
+
+# ---------------------------------------------------------------------------
+# Configs.
+# ---------------------------------------------------------------------------
+
+
+def lm_defaults() -> Config:
+  return Config(dict(
+      vocab_size=32000,
+      model_dim=2048,
+      n_layers=24,
+      n_heads=16,
+      n_kv_heads=16,          # < n_heads => GQA
+      head_dim=128,
+      expand_factor=4,        # ffn hidden = expand * model_dim
+      use_gated_ffn=True,
+      use_rmsnorm=True,
+      use_pre_ln=True,
+      use_post_ln=False,
+      use_post_skip_ln=False,
+      rope_theta=10000.0,
+      window_size=None,       # sliding-window attention
+      use_window_chunk=False, # chunked (blockwise 2-chunk) local attention
+      window_chunk_size=None,
+      tie_embeddings=True,
+      use_scan=True,
+      use_remat=True,
+      seq_len=2048,
+      attn_logit_cap=ATTN_LOGIT_CAP,
+      final_logit_cap=FINAL_LOGIT_CAP,
+      param_dtype="float32",
+      activation_dtype="bfloat16",
+  ))
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingConfig:
+  """PartitionSpecs over mesh axes ('replica', 'data', 'model').
+
+  Defaults reproduce hero's GSPMD layout (hero/config_lib.py:66-99).
+  """
+  embed: P = P("model", "data")
+  attn_qkv: P = P("data", "model", None)     # [d, heads, head_dim]
+  attn_o: P = P("data", "model", None)
+  ffn0: P = P("data", "model")
+  ffn1: P = P("model", "data")
+  norm_scale: P = P()
+  activation: P = P(("replica", "data"), None, "model")
+  logits: P = P(("replica", "data"), None, "model")
+  cache: P = P(("replica", "data"), None, "model", None)
+
+  @classmethod
+  def data_parallel(cls):
+    none = P()
+    act = P(("replica", "data"), None, None)
+    return cls(embed=none, attn_qkv=none, attn_o=none, ffn0=none, ffn1=none,
+               norm_scale=none, activation=act, logits=act,
+               cache=P(("replica", "data"), None, None, None))
+
+
+def _constrain(x, pspec: Optional[P]):
+  """Apply a sharding constraint when a mesh is active; no-op otherwise."""
+  if pspec is None:
+    return x
+  try:
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or mesh.empty or not mesh.shape:
+      return x
+    if not set(_pspec_axes(pspec)) <= set(mesh.axis_names):
+      return x
+    return jax.lax.with_sharding_constraint(x, pspec)
+  except Exception:
+    return x
+
+
+def _pspec_axes(pspec):
+  axes = []
+  for entry in pspec:
+    if entry is None:
+      continue
+    if isinstance(entry, (tuple, list)):
+      axes.extend(entry)
+    else:
+      axes.append(entry)
+  return axes
+
+
+# ---------------------------------------------------------------------------
+# Positional encoding / masks.
+# ---------------------------------------------------------------------------
+
+
+def rope(x, positions, theta: float = 10000.0):
+  """Rotary position embedding on [..., T, H, D] with positions [..., T]."""
+  d = x.shape[-1]
+  freq = theta ** (-jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+  # positions: [B, T] -> angles [B, T, 1, d/2] broadcasting over heads
+  angles = positions.astype(jnp.float32)[..., None, None] * freq
+  sin, cos = jnp.sin(angles), jnp.cos(angles)
+  x1, x2 = x[..., 0::2], x[..., 1::2]
+  xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+  out1 = xf1 * cos - xf2 * sin
+  out2 = xf2 * cos + xf1 * sin
+  out = jnp.stack([out1, out2], axis=-1).reshape(x.shape)
+  return out.astype(x.dtype)
+
+
+def causal_mask(q_positions, k_positions, window_size: Optional[int] = None,
+                segment_ids_q=None, segment_ids_k=None):
+  """[..., Tq, Tk] boolean mask: True = attend (ref: hero/model_lib.py:405-461)."""
+  mask = q_positions[..., :, None] >= k_positions[..., None, :]
+  if window_size is not None:
+    mask &= (q_positions[..., :, None] - k_positions[..., None, :]) < window_size
+  if segment_ids_q is not None:
+    mask &= segment_ids_q[..., :, None] == segment_ids_k[..., None, :]
+  return mask
+
+
+# ---------------------------------------------------------------------------
+# Attention.
+# ---------------------------------------------------------------------------
+
+
+class Attention(Module):
+  """Multi-head attention with GQA, RoPE, soft-cap, KV cache."""
+
+  def __init__(self, cfg: Config, sharding: ShardingConfig, name="attn"):
+    super().__init__(name)
+    self.cfg = cfg
+    self.sh = sharding
+    self.n_heads = cfg.n_heads
+    self.n_kv = cfg.n_kv_heads
+    self.head_dim = cfg.head_dim
+
+  def init(self, key):
+    d = self.cfg.model_dim
+    hd = self.head_dim
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    scale = d ** -0.5
+    dt = jnp.dtype(self.cfg.param_dtype)
+    return {
+        "wq": (scale * jax.random.normal(k1, (d, self.n_heads, hd))).astype(dt),
+        "wk": (scale * jax.random.normal(k2, (d, self.n_kv, hd))).astype(dt),
+        "wv": (scale * jax.random.normal(k3, (d, self.n_kv, hd))).astype(dt),
+        "wo": ((self.n_heads * hd) ** -0.5
+               * jax.random.normal(k4, (d, self.n_heads, hd))).astype(dt),
+    }
+
+  def apply(self, params, x, positions, mask, cache=None, cache_index=None):
+    """x: [B, T, D]. cache: optional dict(k, v: [B, S, n_kv, hd]).
+
+    Returns (out, new_cache)."""
+    cfg, sh = self.cfg, self.sh
+    adt = jnp.dtype(cfg.activation_dtype)
+    wq = _constrain(params["wq"], sh.attn_qkv).astype(adt)
+    wk = _constrain(params["wk"], sh.attn_qkv).astype(adt)
+    wv = _constrain(params["wv"], sh.attn_qkv).astype(adt)
+    wo = _constrain(params["wo"], sh.attn_o).astype(adt)
+    x = x.astype(adt)
+
+    q = jnp.einsum("btd,dnh->btnh", x, wq)
+    k = jnp.einsum("btd,dnh->btnh", x, wk)
+    v = jnp.einsum("btd,dnh->btnh", x, wv)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+    q = q * (self.head_dim ** -0.5)
+
+    if cache is not None:
+      # In-place cache update at cache_index (decode path).
+      k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
+                                       (0, cache_index, 0, 0))
+      v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
+                                       (0, cache_index, 0, 0))
+      new_cache = {"k": k, "v": v}
+    else:
+      new_cache = {"k": k, "v": v}
+
+    # GQA: repeat kv heads to match q heads.
+    if self.n_kv != self.n_heads:
+      rep = self.n_heads // self.n_kv
+      k = jnp.repeat(k, rep, axis=2)
+      v = jnp.repeat(v, rep, axis=2)
+
+    logits = jnp.einsum("bqnh,bknh->bnqk", q, k.astype(q.dtype))
+    cap = cfg.attn_logit_cap
+    if cap:
+      logits = cap * jnp.tanh(logits.astype(jnp.float32) / cap)
+    else:
+      logits = logits.astype(jnp.float32)
+    logits = jnp.where(mask[:, None, :, :], logits, -1e9)
+    probs = jax.nn.softmax(logits, axis=-1).astype(adt)
+    out = jnp.einsum("bnqk,bknh->bqnh", probs, v.astype(adt))
+    out = jnp.einsum("bqnh,dnh->bqd", out, wo)
+    return _constrain(out, sh.activation), new_cache
+
+
+def chunked_local_attn(q, k, v, positions, window_chunk_size: int,
+                       attn_logit_cap: float = ATTN_LOGIT_CAP):
+  """Blockwise local attention: chunk i attends to chunks {i-1, i} with a
+  causal mask inside — O(T * 2c) instead of O(T^2)
+  (ref semantics: hero/model_lib.py:464-534).
+
+  q, k, v: [B, T, N, H] with T % chunk == 0. Returns [B, T, N, H].
+  """
+  b, t, n, h = q.shape
+  c = window_chunk_size
+  assert t % c == 0, (t, c)
+  nc = t // c
+  qc = q.reshape(b, nc, c, n, h)
+  kc = k.reshape(b, nc, c, n, h)
+  vc = v.reshape(b, nc, c, n, h)
+  # previous chunk of k/v (zeros for chunk 0)
+  kprev = jnp.pad(kc, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :-1]
+  vprev = jnp.pad(vc, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :-1]
+  k2 = jnp.concatenate([kprev, kc], axis=2)  # [B, nc, 2c, N, H]
+  v2 = jnp.concatenate([vprev, vc], axis=2)
+
+  logits = jnp.einsum("bgqnh,bgknh->bgnqk", qc, k2)
+  if attn_logit_cap:
+    logits = attn_logit_cap * jnp.tanh(
+        logits.astype(jnp.float32) / attn_logit_cap)
+  # positions within the 2c window: key j (global idx (g-1)*c + j), query i
+  # (global g*c + i): attend iff key_pos <= query_pos and key from valid chunk.
+  qi = jax.lax.broadcasted_iota(jnp.int32, (c, 2 * c), 0) + c
+  kj = jax.lax.broadcasted_iota(jnp.int32, (c, 2 * c), 1)
+  base = kj <= qi  # causal within the two-chunk window
+  first_chunk_valid = kj >= c  # chunk 0 has no previous chunk
+  chunk_ids = jax.lax.broadcasted_iota(jnp.int32, (nc, 1, 1), 0)
+  mask = jnp.where(chunk_ids == 0, base & first_chunk_valid, base)
+  logits = jnp.where(mask[None, :, None, :, :], logits, -1e9)
+  probs = jax.nn.softmax(logits, axis=-1).astype(v2.dtype)
+  out = jnp.einsum("bgnqk,bgknh->bgqnh", probs, v2)
+  return out.reshape(b, t, n, h)
+
+
+# ---------------------------------------------------------------------------
+# Norm / FFN / Block.
+# ---------------------------------------------------------------------------
+
+
+class RMSNorm(Module):
+
+  def __init__(self, dim: int, sharding: ShardingConfig, name="norm"):
+    super().__init__(name)
+    self.dim = dim
+    self.sh = sharding
+
+  def init(self, key):
+    del key
+    return {"scale": jnp.zeros((self.dim,), jnp.float32)}
+
+  def apply(self, params, x):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + 1e-6)
+    out = normed * (1.0 + params["scale"])
+    return out.astype(x.dtype)
+
+
+class FFN(Module):
+  """Gated FFN: (silu(x W0_gate) * x W0) W1."""
+
+  def __init__(self, cfg: Config, sharding: ShardingConfig, name="ffn"):
+    super().__init__(name)
+    self.cfg = cfg
+    self.sh = sharding
+
+  def init(self, key):
+    d = self.cfg.model_dim
+    hidden = self.cfg.expand_factor * d
+    dt = jnp.dtype(self.cfg.param_dtype)
+    k0, kg, k1 = jax.random.split(key, 3)
+    p = {
+        "w0": (d ** -0.5 * jax.random.normal(k0, (d, hidden))).astype(dt),
+        "w1": (hidden ** -0.5 * jax.random.normal(k1, (hidden, d))).astype(dt),
+    }
+    if self.cfg.use_gated_ffn:
+      p["wg"] = (d ** -0.5 * jax.random.normal(kg, (d, hidden))).astype(dt)
+    return p
+
+  def apply(self, params, x):
+    adt = jnp.dtype(self.cfg.activation_dtype)
+    sh = self.sh
+    x = x.astype(adt)
+    w0 = _constrain(params["w0"], sh.ffn0).astype(adt)
+    w1 = _constrain(params["w1"], sh.ffn1).astype(adt)
+    h = jnp.einsum("btd,df->btf", x, w0)
+    if self.cfg.use_gated_ffn:
+      wg = _constrain(params["wg"], sh.ffn0).astype(adt)
+      h = jax.nn.silu(jnp.einsum("btd,df->btf", x, wg)) * h
+    else:
+      h = jax.nn.silu(h)
+    out = jnp.einsum("btf,fd->btd", h, w1)
+    return _constrain(out, sh.activation)
+
+
+class TransformerBlock(Module):
+
+  def __init__(self, cfg: Config, sharding: ShardingConfig, name="block"):
+    super().__init__(name)
+    self.cfg = cfg
+    self.attn = Attention(cfg, sharding, name="attn")
+    self.ffn = FFN(cfg, sharding, name="ffn")
+    self.pre_attn_norm = RMSNorm(cfg.model_dim, sharding, "pre_attn_norm")
+    self.pre_ffn_norm = RMSNorm(cfg.model_dim, sharding, "pre_ffn_norm")
+    self.post_attn_norm = (RMSNorm(cfg.model_dim, sharding, "post_attn_norm")
+                           if cfg.use_post_ln else None)
+    self.post_ffn_norm = (RMSNorm(cfg.model_dim, sharding, "post_ffn_norm")
+                          if cfg.use_post_ln else None)
+
+  def init(self, key):
+    children = [self.attn, self.ffn, self.pre_attn_norm, self.pre_ffn_norm]
+    if self.post_attn_norm:
+      children += [self.post_attn_norm, self.post_ffn_norm]
+    return self.init_child(key, children)
+
+  def apply(self, params, x, positions, mask, cache=None, cache_index=None):
+    h = self.pre_attn_norm(params["pre_attn_norm"], x)
+    attn_out, new_cache = self.attn(params["attn"], h, positions, mask,
+                                    cache, cache_index)
+    if self.post_attn_norm:
+      attn_out = self.post_attn_norm(params["post_attn_norm"], attn_out)
+    x = x + attn_out
+    h = self.pre_ffn_norm(params["pre_ffn_norm"], x)
+    ffn_out = self.ffn(params["ffn"], h)
+    if self.post_ffn_norm:
+      ffn_out = self.post_ffn_norm(params["post_ffn_norm"], ffn_out)
+    return x + ffn_out, new_cache
+
+
+# ---------------------------------------------------------------------------
+# LM.
+# ---------------------------------------------------------------------------
+
+
+class TransformerLM(Module):
+  """apply(params, tokens, positions=None, segment_ids=None) -> logits.
+
+  With use_scan, block params are stacked [L, ...] and layers run under
+  lax.scan (+ remat), so compile time and HBM stay flat in depth.
+  """
+
+  def __init__(self, cfg: Config, sharding: ShardingConfig | None = None,
+               name="lm"):
+    super().__init__(name)
+    self.cfg = cfg
+    self.sh = sharding or ShardingConfig.data_parallel()
+    self.block = TransformerBlock(cfg, self.sh)
+    self.final_norm = RMSNorm(cfg.model_dim, self.sh, "final_norm")
+
+  def init(self, key):
+    cfg = self.cfg
+    k_embed, k_blocks, k_out = jax.random.split(key, 3)
+    dt = jnp.dtype(cfg.param_dtype)
+    params = {
+        "embed": (cfg.model_dim ** -0.5 * jax.random.normal(
+            k_embed, (cfg.vocab_size, cfg.model_dim))).astype(dt),
+        "final_norm": self.final_norm.init(None),
+    }
+    block_keys = jax.random.split(k_blocks, cfg.n_layers)
+    if cfg.use_scan:
+      params["blocks"] = jax.vmap(self.block.init)(block_keys)
+    else:
+      params["blocks"] = [self.block.init(k) for k in block_keys]
+    if not cfg.tie_embeddings:
+      params["unembed"] = (cfg.model_dim ** -0.5 * jax.random.normal(
+          k_out, (cfg.model_dim, cfg.vocab_size))).astype(dt)
+    return params
+
+  def _mask(self, positions, kv_positions, segment_ids=None):
+    return causal_mask(positions, kv_positions, self.cfg.window_size,
+                       segment_ids, segment_ids)
+
+  def apply(self, params, tokens, positions=None, segment_ids=None,
+            cache=None, cache_index=None, kv_positions=None):
+    """tokens: [B, T] int32. cache: optional stacked {k,v: [L,B,S,n,h]}.
+
+    Returns (logits [B, T, V], new_cache or None)."""
+    cfg = self.cfg
+    adt = jnp.dtype(cfg.activation_dtype)
+    b, t = tokens.shape
+    if positions is None:
+      positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    if kv_positions is None:
+      kv_positions = positions
+    embed = _constrain(params["embed"], self.sh.embed)
+    x = embed[tokens].astype(adt) * (cfg.model_dim ** 0.5)
+    x = _constrain(x, self.sh.activation)
+    mask = self._mask(positions, kv_positions, segment_ids)
+
+    if cfg.use_scan:
+      block_fn = self.block
+
+      if cache is not None:
+        def body(x, scanned):
+          layer_params, layer_cache = scanned
+          out, nc = block_fn(layer_params, x, positions, mask,
+                             layer_cache, cache_index)
+          return out, nc
+        xs = (params["blocks"], cache)
+      else:
+        def body(x, layer_params):
+          out, nc = block_fn(layer_params, x, positions, mask, None, None)
+          return out, nc
+        xs = params["blocks"]
+
+      if cfg.use_remat:
+        body = jax.checkpoint(body)
+      x, new_cache = jax.lax.scan(body, x, xs)
+    else:
+      new_caches = []
+      for i, layer_params in enumerate(params["blocks"]):
+        layer_cache = None if cache is None else jax.tree_util.tree_map(
+            lambda c: c[i], cache)
+        x, nc = self.block(layer_params, x, positions, mask, layer_cache,
+                           cache_index)
+        new_caches.append(nc)
+      new_cache = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                         *new_caches)
+
+    x = self.final_norm(params["final_norm"], x)
+    if cfg.tie_embeddings:
+      logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
+                          params["embed"].astype(jnp.float32))
+    else:
+      logits = jnp.einsum("btd,dv->btv", x.astype(jnp.float32),
+                          params["unembed"].astype(jnp.float32))
+    if cfg.final_logit_cap:
+      logits = cfg.final_logit_cap * jnp.tanh(logits / cfg.final_logit_cap)
+    return logits, new_cache
+
+  def init_cache(self, batch_size: int, max_len: int):
+    cfg = self.cfg
+    shape = (cfg.n_layers, batch_size, max_len, cfg.n_kv_heads, cfg.head_dim)
+    dt = jnp.dtype(cfg.activation_dtype)
+    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+
+
+# ---------------------------------------------------------------------------
+# Loss / sampling.
+# ---------------------------------------------------------------------------
+
+
+def lm_loss(logits, targets, loss_weights=None):
+  """Masked next-token xent (ref: hero/model_lib.py:1285-1304)."""
+  logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+  nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+  if loss_weights is None:
+    return jnp.mean(nll)
+  w = loss_weights.astype(jnp.float32)
+  return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def sample_logits(rng, logits, temperature=1.0, top_k: int = 0,
+                  top_p: float = 0.0):
+  """Sample next token ids from [B, V] logits (ref: hero/model_lib.py:2188-2227)."""
+  logits = logits.astype(jnp.float32)
+  if temperature == 0.0:
+    return jnp.argmax(logits, axis=-1)
+  logits = logits / temperature
+  if top_k:
+    kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+    logits = jnp.where(logits < kth, -1e9, logits)
+  if top_p:
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+    logits = jnp.where(logits < cutoff, -1e9, logits)
+  return jax.random.categorical(rng, logits, axis=-1)
+
+
+def greedy_generate(model: TransformerLM, params, prompt_tokens,
+                    max_new_tokens: int, rng=None, temperature: float = 0.0,
+                    top_k: int = 0, top_p: float = 0.0):
+  """Prefill then lax.while-style decode with in-place KV cache.
+
+  prompt_tokens: [B, T_prompt]. Returns [B, T_prompt + max_new_tokens].
+  """
+  b, t0 = prompt_tokens.shape
+  total = t0 + max_new_tokens
+  cache = model.init_cache(b, total)
+  positions = jnp.broadcast_to(jnp.arange(t0)[None], (b, t0))
+  logits, cache = model(params, prompt_tokens, positions=positions,
+                        cache=cache, cache_index=0,
+                        kv_positions=jnp.broadcast_to(
+                            jnp.arange(total)[None], (b, total)))
+  rng = rng if rng is not None else jax.random.key(0)
+  next_tok = sample_logits(rng, logits[:, t0 - 1], temperature, top_k, top_p)
+
+  tokens = jnp.zeros((b, total), jnp.int32)
+  tokens = tokens.at[:, :t0].set(prompt_tokens)
+  tokens = tokens.at[:, t0].set(next_tok)
+
+  kv_pos = jnp.broadcast_to(jnp.arange(total)[None], (b, total))
+
+  def body(i, state):
+    tokens, cache, rng = state
+    rng, sub = jax.random.split(rng)
+    cur = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))
+    pos = jnp.full((b, 1), i, jnp.int32)
+    logits, cache = model(params, cur, positions=pos, cache=cache,
+                          cache_index=i, kv_positions=kv_pos)
+    nxt = sample_logits(sub, logits[:, 0], temperature, top_k, top_p)
+    tokens = jax.lax.dynamic_update_slice(
+        tokens, nxt[:, None].astype(jnp.int32), (0, i + 1))
+    return tokens, cache, rng
+
+  tokens, cache, _ = jax.lax.fori_loop(t0, total - 1, body,
+                                       (tokens, cache, rng))
+  return tokens

@@ -8,3 +8,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
   os.environ["XLA_FLAGS"] = (
       flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
+jax.config.update("jax_platforms", "cpu")
+
+# JAX's DEFAULT matmul precision runs bf16 passes (shape-dependent) even on
+# the CPU backend; numeric-parity tests need true f32 matmuls.
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,159 @@
+"""LM tests: forward, scan-vs-loop parity, window mask, chunked local attn,
+KV-cache decode consistency, GSPMD sharding on the CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from automl_tpu.models import lm as lm_lib
+
+
+def tiny_cfg(**kw):
+  cfg = lm_lib.lm_defaults()
+  cfg.override(dict(
+      vocab_size=64, model_dim=32, n_layers=2, n_heads=4, n_kv_heads=2,
+      head_dim=8, expand_factor=2, seq_len=16,
+      activation_dtype="float32"), allow_new_keys=True)
+  cfg.override(kw, allow_new_keys=True)
+  return cfg
+
+
+def test_forward_shapes_and_finite():
+  cfg = tiny_cfg()
+  model = lm_lib.TransformerLM(cfg)
+  params = model.init(jax.random.key(0))
+  tokens = jax.random.randint(jax.random.key(1), (2, 16), 0, 64)
+  logits, _ = model(params, tokens)
+  assert logits.shape == (2, 16, 64)
+  assert bool(jnp.isfinite(logits).all())
+  # soft cap bounds logits
+  assert float(jnp.max(jnp.abs(logits))) <= cfg.final_logit_cap + 1e-3
+
+
+def test_scan_matches_python_loop():
+  cfg_scan = tiny_cfg(use_scan=True, use_remat=False)
+  cfg_loop = tiny_cfg(use_scan=False, use_remat=False)
+  m_scan = lm_lib.TransformerLM(cfg_scan)
+  m_loop = lm_lib.TransformerLM(cfg_loop)
+  p_scan = m_scan.init(jax.random.key(0))
+  # convert stacked params to per-layer list
+  p_loop = dict(p_scan)
+  p_loop["blocks"] = [
+      jax.tree_util.tree_map(lambda x: x[i], p_scan["blocks"])
+      for i in range(cfg_scan.n_layers)]
+  tokens = jax.random.randint(jax.random.key(1), (2, 8), 0, 64)
+  l1, _ = m_scan(p_scan, tokens)
+  l2, _ = m_loop(p_loop, tokens)
+  np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_causal_and_window_mask():
+  pos = jnp.arange(6)[None]
+  m = lm_lib.causal_mask(pos, pos)
+  assert bool(m[0, 3, 3]) and bool(m[0, 3, 0]) and not bool(m[0, 3, 4])
+  mw = lm_lib.causal_mask(pos, pos, window_size=2)
+  assert bool(mw[0, 3, 2]) and not bool(mw[0, 3, 1])
+
+
+def test_window_size_changes_output():
+  cfg = tiny_cfg()
+  cfg_w = tiny_cfg(window_size=4)
+  m = lm_lib.TransformerLM(cfg)
+  mw = lm_lib.TransformerLM(cfg_w)
+  params = m.init(jax.random.key(0))
+  tokens = jax.random.randint(jax.random.key(1), (1, 16), 0, 64)
+  l1, _ = m(params, tokens)
+  l2, _ = mw(params, tokens)
+  # early positions identical (window not binding), late positions differ
+  np.testing.assert_allclose(np.asarray(l1[:, :3]), np.asarray(l2[:, :3]),
+                             atol=1e-5)
+  assert not np.allclose(np.asarray(l1[:, -1]), np.asarray(l2[:, -1]))
+
+
+def test_chunked_local_attn_matches_windowed_dense():
+  """Chunk attention (chunks {i-1, i}) == dense attention with the equivalent
+  per-position window truncated at the chunk boundary."""
+  b, t, n, h, c = 1, 8, 2, 4, 4
+  key = jax.random.key(0)
+  q, k, v = (jax.random.normal(jax.random.key(i), (b, t, n, h))
+             for i in range(3))
+  pos = jnp.arange(t)[None]
+  out = lm_lib.chunked_local_attn(q, k, v, pos, window_chunk_size=c,
+                                  attn_logit_cap=0.0)
+  # dense equivalent: query in chunk g attends keys in chunks {g-1, g}, causal
+  qi = jnp.arange(t)[:, None]
+  kj = jnp.arange(t)[None, :]
+  chunk_q, chunk_k = qi // c, kj // c
+  mask = (kj <= qi) & ((chunk_k == chunk_q) | (chunk_k == chunk_q - 1))
+  logits = jnp.einsum("btnh,bsnh->bnts", q, k)
+  logits = jnp.where(mask[None, None], logits, -1e9)
+  probs = jax.nn.softmax(logits, -1)
+  want = jnp.einsum("bnts,bsnh->btnh", probs, v)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+
+def test_kv_cache_decode_matches_full_forward():
+  cfg = tiny_cfg(use_remat=False)
+  model = lm_lib.TransformerLM(cfg)
+  params = model.init(jax.random.key(0))
+  tokens = jax.random.randint(jax.random.key(1), (2, 10), 0, 64)
+
+  full_logits, _ = model(params, tokens)
+
+  # prefill 6, then decode token-by-token; logits must match full forward
+  total = 10
+  cache = model.init_cache(2, total)
+  kv_pos = jnp.broadcast_to(jnp.arange(total)[None], (2, total))
+  pre_logits, cache = model(params, tokens[:, :6],
+                            positions=jnp.broadcast_to(jnp.arange(6)[None],
+                                                       (2, 6)),
+                            cache=cache, cache_index=0, kv_positions=kv_pos)
+  np.testing.assert_allclose(np.asarray(pre_logits),
+                             np.asarray(full_logits[:, :6]), atol=2e-4)
+  for i in range(6, 10):
+    step_logits, cache = model(
+        params, tokens[:, i:i + 1],
+        positions=jnp.full((2, 1), i, jnp.int32),
+        cache=cache, cache_index=i, kv_positions=kv_pos)
+    np.testing.assert_allclose(np.asarray(step_logits[:, 0]),
+                               np.asarray(full_logits[:, i]), atol=2e-4)
+
+
+def test_generate_runs():
+  cfg = tiny_cfg(use_remat=False)
+  model = lm_lib.TransformerLM(cfg)
+  params = model.init(jax.random.key(0))
+  prompt = jax.random.randint(jax.random.key(1), (2, 4), 0, 64)
+  out = lm_lib.greedy_generate(model, params, prompt, max_new_tokens=6)
+  assert out.shape == (2, 10)
+  np.testing.assert_array_equal(np.asarray(out[:, :4]), np.asarray(prompt))
+
+
+def test_lm_loss_masked():
+  logits = jnp.zeros((1, 4, 8))
+  targets = jnp.array([[1, 2, 3, 4]])
+  w = jnp.array([[1.0, 1.0, 0.0, 0.0]])
+  loss = lm_lib.lm_loss(logits, targets, w)
+  np.testing.assert_allclose(float(loss), np.log(8), rtol=1e-5)
+
+
+def test_gspmd_sharded_train_step():
+  """Tensor-parallel sharding on an 8-device CPU mesh: jit a loss/grad step
+  with hero-style PartitionSpecs under a (1, 2, 4) mesh."""
+  from automl_tpu.parallel import create_mesh
+  cfg = tiny_cfg(use_remat=True)
+  sharding = lm_lib.ShardingConfig()
+  model = lm_lib.TransformerLM(cfg, sharding)
+  mesh = create_mesh((1, 2, 4))
+  with jax.set_mesh(mesh):
+    params = model.init(jax.random.key(0))
+    tokens = jax.random.randint(jax.random.key(1), (4, 16), 0, 64)
+
+    @jax.jit
+    def loss_fn(params, tokens):
+      logits, _ = model(params, tokens[:, :-1])
+      return lm_lib.lm_loss(logits, tokens[:, 1:])
+
+    loss, grads = jax.value_and_grad(loss_fn)(params, tokens)
+    assert bool(jnp.isfinite(loss))
+    assert jax.tree_util.tree_structure(grads) == jax.tree_util.tree_structure(params)

@@ -1,0 +1,56 @@
+"""EfficientNet/V2 classification train CLI (the reference's efficientnetv2/main.py).
+
+Examples:
+  python -m automl_tpu.cli.main_cls --model_name=efficientnetv2-b0 \
+    --model_dir=/tmp/b0 --train_steps=100 \
+    --hparam_str="train.batch_size=16,data.ds_name=null"
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+  p = argparse.ArgumentParser(description=__doc__)
+  p.add_argument("--mode", default="train", choices=["train", "traineval"])
+  p.add_argument("--model_name", default="efficientnetv2-b0")
+  p.add_argument("--model_dir", required=True)
+  p.add_argument("--hparam_str", default="")
+  p.add_argument("--train_file_pattern", default=None)
+  p.add_argument("--train_steps", type=int, default=0)
+  p.add_argument("--mesh_shape", default=None)
+  p.add_argument("--seed", type=int, default=0)
+  return p.parse_args(argv)
+
+
+def main(argv=None):
+  args = parse_args(argv)
+  from automl_tpu.configs.effnet_configs import get_model_config
+  from automl_tpu.data import pipeline
+  from automl_tpu.train import runners
+
+  config = get_model_config(args.model_name)
+  config.override(args.hparam_str)
+  batch_size = int(config.train.batch_size)
+  steps_per_epoch = 1281167 // batch_size  # ImageNet
+  train_steps = args.train_steps or config.train.epochs * steps_per_epoch
+  mesh_shape = (tuple(int(x) for x in args.mesh_shape.split(","))
+                if args.mesh_shape else None)
+
+  data_iter = None
+  if args.train_file_pattern and config.data.ds_name != "null":
+    canvas = int(int(config.train.isize or config.eval.isize) * 1.15) // 2 * 2
+    data_iter = iter(pipeline.ImageNetTFRecordLoader(
+        args.train_file_pattern, is_training=True, batch_size=batch_size,
+        canvas_size=canvas, num_classes=config.data.num_classes))
+
+  metrics = runners.run_classification(
+      config, args.model_dir, train_steps, mesh_shape=mesh_shape,
+      data_iter=data_iter, seed=args.seed)
+  print({k: round(v, 4) for k, v in metrics.items()})
+  return metrics
+
+
+if __name__ == "__main__":
+  main()

@@ -1,0 +1,99 @@
+"""EfficientDet train/eval CLI (the reference's efficientdet/main.py + tf2/train.py).
+
+Examples:
+  python -m automl_tpu.cli.main_det --mode=train --model_name=efficientdet-d0 \
+    --model_dir=/tmp/d0 --train_steps=200 --hparams="batch_size=8"
+  python -m automl_tpu.cli.main_det --mode=train --use_fake_data ...
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+  p = argparse.ArgumentParser(description=__doc__)
+  p.add_argument("--mode", default="train",
+                 choices=["train", "eval", "train_and_eval"])
+  p.add_argument("--model_name", default="efficientdet-d0")
+  p.add_argument("--model_dir", required=True)
+  p.add_argument("--hparams", default="",
+                 help="k=v,k2.k3=v override string or YAML path")
+  p.add_argument("--train_file_pattern", default=None)
+  p.add_argument("--val_file_pattern", default=None)
+  p.add_argument("--use_fake_data", action="store_true")
+  p.add_argument("--train_steps", type=int, default=0,
+                 help="0 -> num_epochs * num_examples_per_epoch / batch_size")
+  p.add_argument("--num_examples_per_epoch", type=int, default=120000)
+  p.add_argument("--eval_samples", type=int, default=5000)
+  p.add_argument("--mesh_shape", default=None,
+                 help="e.g. 1,8,1 for (replica, data, model)")
+  p.add_argument("--seed", type=int, default=0)
+  return p.parse_args(argv)
+
+
+def main(argv=None):
+  args = parse_args(argv)
+  from automl_tpu.configs.efficientdet_configs import get_efficientdet_config
+  from automl_tpu.data import pipeline
+  from automl_tpu.train import runners
+  from automl_tpu.utils import parse_image_size
+
+  config = get_efficientdet_config(args.model_name)
+  config.override(args.hparams)
+  batch_size = int(config.batch_size)
+  train_steps = args.train_steps or (
+      config.num_epochs * args.num_examples_per_epoch // batch_size)
+  mesh_shape = (tuple(int(x) for x in args.mesh_shape.split(","))
+                if args.mesh_shape else None)
+  size = parse_image_size(config.image_size)
+
+  train_iter = None
+  if args.train_file_pattern and not args.use_fake_data:
+    train_iter = iter(pipeline.DetectionTFRecordLoader(
+        args.train_file_pattern, is_training=True, batch_size=batch_size,
+        canvas_size=size[0],
+        max_instances=config.max_instances_per_image,
+        skip_crowd_during_training=config.skip_crowd_during_training))
+
+  eval_iter = None
+  eval_steps = 0
+  if args.mode in ("eval", "train_and_eval") and args.val_file_pattern:
+    eval_iter = iter(pipeline.DetectionTFRecordLoader(
+        args.val_file_pattern, is_training=False, batch_size=batch_size,
+        canvas_size=size[0], max_instances=config.max_instances_per_image))
+    eval_steps = max(args.eval_samples // batch_size, 1)
+
+  if args.mode == "eval":
+    import jax
+    from automl_tpu import nn
+    from automl_tpu.models.efficientdet import EfficientDet
+    from automl_tpu.train.checkpoint import CheckpointManager
+    from automl_tpu.train import train_lib
+    from automl_tpu.train import optimizers as opt_lib
+    nn.set_policy("mixed_bfloat16" if config.mixed_precision else "float32")
+    model = EfficientDet(config)
+    params = jax.eval_shape(model.init, jax.random.key(0))
+    import jax.numpy as jnp
+    template = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), params)
+    mngr = CheckpointManager(f"{args.model_dir}/ckpt")
+    tx = opt_lib.masked_for_params(opt_lib.build_optimizer("sgd", 0.0), template)
+    state = mngr.restore(train_lib.create_train_state(template, tx))
+    if state is None:
+      raise FileNotFoundError(f"no checkpoint in {args.model_dir}/ckpt")
+    metrics = runners.evaluate_detection(
+        model, state.ema_params or state.params, config, eval_iter, eval_steps)
+    print({k: round(v, 4) for k, v in metrics.items()})
+    return metrics
+
+  metrics = runners.run_detection(
+      config, args.model_dir, train_steps, mesh_shape=mesh_shape,
+      data_iter=train_iter, eval_iter=eval_iter, eval_steps=eval_steps,
+      seed=args.seed)
+  print({k: round(v, 4) for k, v in metrics.items()})
+  return metrics
+
+
+if __name__ == "__main__":
+  main()

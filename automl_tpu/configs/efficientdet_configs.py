@@ -177,12 +177,29 @@ EFFICIENTDET_LITE_PARAMS = {
 }
 
 
+def _test_config() -> Config:
+  """Tiny config for smoke tests / CLI dry runs (cf. hero TransformerLMTest)."""
+  cfg = default_detection_configs()
+  cfg.override(dict(
+      name="efficientdet-test", backbone_name="efficientnet-b0",
+      image_size=64, fpn_num_filters=16, fpn_cell_repeats=1,
+      box_class_repeats=1, num_classes=3, batch_size=2))
+  cfg.backbone_config = dict(
+      blocks_args=["r1_k3_s1_e1_i8_o8", "r1_k3_s2_e2_i8_o16",
+                   "r1_k3_s2_e2_i16_o16", "r1_k3_s2_e2_i16_o24",
+                   "r1_k3_s2_e2_i24_o32"],
+      feature_size=32, width_coefficient=1.0, depth_coefficient=1.0)
+  return cfg
+
+
 def get_efficientdet_config(model_name: str = "efficientdet-d1") -> Config:
+  if model_name == "efficientdet-test":
+    return _test_config()
   cfg = default_detection_configs()
   params = {**EFFICIENTDET_MODEL_PARAMS, **EFFICIENTDET_LITE_PARAMS}
   if model_name not in params:
     raise KeyError(f"Unknown detection model {model_name!r}. "
-                   f"Available: {sorted(params)}")
+                   f"Available: {sorted(params) + ['efficientdet-test']}")
   cfg.override(dict(name=model_name, **copy.deepcopy(params[model_name])))
   return cfg
 

@@ -204,8 +204,23 @@ def efficientnet_lite_config(model_name: str) -> Config:
   return cfg
 
 
+def _test_config() -> Config:
+  """Tiny config for smoke tests / CLI dry runs."""
+  cfg = base_config()
+  cfg.model.override(dict(
+      model_name="efficientnetv2-test",
+      blocks_args=["r1_k3_s1_e1_i8_o8_c1", "r1_k3_s2_e4_i8_o16_se0.25"],
+      feature_size=16, num_classes=4))
+  cfg.train.override(dict(isize=32, batch_size=4, stages=0))
+  cfg.eval.isize = 32
+  cfg.data.override(dict(num_classes=4, ram=5))
+  return cfg
+
+
 def get_model_config(model_name: str) -> Config:
   """Named model -> full config (model/train/eval/data/runtime)."""
+  if model_name == "efficientnetv2-test":
+    return _test_config()
   if model_name.startswith("efficientnet-lite"):
     return efficientnet_lite_config(model_name)
   if model_name.startswith("efficientnet-"):

@@ -1,0 +1,82 @@
+"""Checkpointing: orbax-backed save/restore + best-objective archiving.
+
+Parity refs:
+  orbax CheckpointManager usage   hero/model_lib.py:1513-1579 (async save,
+                                  max_to_keep, restore-latest, abstract restore)
+  best-ckpt archive               efficientdet/utils.py:434-481 (archive/ dir,
+                                  backup/ dir, best_objective.txt)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+  """Thin orbax wrapper for TrainState-like pytrees."""
+
+  def __init__(self, directory: str, max_to_keep: int = 5,
+               save_interval_steps: int = 1, async_save: bool = True):
+    self.directory = os.path.abspath(directory)
+    os.makedirs(self.directory, exist_ok=True)
+    options = ocp.CheckpointManagerOptions(
+        max_to_keep=max_to_keep,
+        save_interval_steps=save_interval_steps,
+        enable_async_checkpointing=async_save,
+    )
+    self._mngr = ocp.CheckpointManager(self.directory, options=options)
+
+  def save(self, step: int, state) -> bool:
+    return self._mngr.save(step, args=ocp.args.StandardSave(state))
+
+  def restore(self, state_template, step: Optional[int] = None):
+    step = self.latest_step() if step is None else step
+    if step is None:
+      return None
+    return self._mngr.restore(step,
+                              args=ocp.args.StandardRestore(state_template))
+
+  def latest_step(self) -> Optional[int]:
+    return self._mngr.latest_step()
+
+  def wait_until_finished(self):
+    self._mngr.wait_until_finished()
+
+  def close(self):
+    self._mngr.close()
+
+
+def archive_ckpt(ckpt_dir: str, step: int, objective: float,
+                 mngr: CheckpointManager) -> bool:
+  """Keep the best checkpoint by eval objective (ref: utils.py:434-481).
+
+  Copies the step's checkpoint dir into <ckpt_dir>/archive when objective
+  improves on archive/best_objective.txt; previous archive moves to backup/.
+  """
+  archive = os.path.join(ckpt_dir, "archive")
+  backup = os.path.join(ckpt_dir, "backup")
+  best_file = os.path.join(archive, "best_objective.txt")
+  if os.path.exists(best_file):
+    with open(best_file) as f:
+      best = float(f.read().strip().split()[-1])
+    if objective <= best:
+      return False
+  mngr.wait_until_finished()
+  src = os.path.join(mngr.directory, str(step))
+  if not os.path.isdir(src):
+    return False
+  if os.path.isdir(backup):
+    shutil.rmtree(backup)
+  if os.path.isdir(archive):
+    shutil.move(archive, backup)
+  os.makedirs(archive)
+  shutil.copytree(src, os.path.join(archive, str(step)))
+  with open(best_file, "w") as f:
+    f.write(f"step {step} objective {objective}\n")
+  return True

@@ -62,8 +62,13 @@ def _l2_mask_fn(exclude_regex):
 # ---------------------------------------------------------------------------
 
 
-def make_cls_train_step(model, tx, config):
-  """-> train_step(state, batch{'image','label'}, rng) -> (state, metrics)."""
+def make_cls_train_step(model, tx, config, preprocess_fn=None):
+  """-> train_step(state, batch{'image','label'}, rng) -> (state, metrics).
+
+  preprocess_fn(batch, rng) -> batch runs INSIDE the jitted step (device-side
+  crop/flip/RandAugment/mixup from data/preprocessing.py), so raw uint8
+  canvases stream straight from the host loader.
+  """
   train_cfg = config.train
   label_smoothing = train_cfg.label_smoothing
   loss_type = train_cfg.get("loss_type")
@@ -74,6 +79,8 @@ def make_cls_train_step(model, tx, config):
 
   def train_step(state: TrainState, batch, rng):
     step_rng = jax.random.fold_in(rng, state.step)
+    if preprocess_fn is not None:
+      batch = preprocess_fn(batch, jax.random.fold_in(step_rng, 1))
 
     def loss_fn(params):
       with nn.rng_scope(step_rng):
@@ -123,7 +130,7 @@ def make_cls_eval_step(model):
 # ---------------------------------------------------------------------------
 
 
-def make_det_train_step(model, tx, config):
+def make_det_train_step(model, tx, config, preprocess_fn=None):
   """-> train_step(state, batch, rng) -> (state, metrics).
 
   batch: {'image': [B,H,W,3], 'gt_boxes': [B,G,4], 'gt_classes': [B,G]}.
@@ -143,6 +150,8 @@ def make_det_train_step(model, tx, config):
 
   def train_step(state: TrainState, batch, rng):
     step_rng = jax.random.fold_in(rng, state.step)
+    if preprocess_fn is not None:
+      batch = preprocess_fn(batch, jax.random.fold_in(step_rng, 1))
     cls_t, box_t, num_pos = labeler.label_anchors(
         batch["gt_boxes"], batch["gt_classes"])
 

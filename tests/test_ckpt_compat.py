@@ -1,0 +1,79 @@
+"""Checkpoint-compat golden test: instantiate the REFERENCE TF model (via
+tf_keras legacy shim), convert its randomly-initialized weights through our
+TF-name mapping, and require logits parity between the reference forward pass
+and ours. This validates the full published-checkpoint import path without
+network access (north-star: SURVEY.md section 5.4)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+try:
+  import tf_keras  # noqa: F401
+  HAS_TF = True
+except Exception:
+  HAS_TF = False
+
+pytestmark = pytest.mark.skipif(not HAS_TF, reason="tf_keras unavailable")
+
+
+@pytest.mark.parametrize("model_name", ["efficientnetv2-b0", "efficientnet-b0"])
+def test_effnet_logits_parity_with_reference(model_name):
+  from automl_tpu.ckpt import tf_compat
+  tf = tf_compat.reference_model_shim()
+  if "/root/reference/efficientnetv2" not in sys.path:
+    sys.path.insert(0, "/root/reference/efficientnetv2")
+  import effnetv2_model  # reference code, runs under tf_keras
+
+  # keras name-uid counters are process-global; reset so layer names match
+  # the fresh-process names used in published checkpoints
+  import tf_keras
+  tf_keras.backend.clear_session()
+
+  ref = effnetv2_model.EffNetV2Model(model_name)
+  rng = np.random.RandomState(0)
+  x = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+  ref_logits = ref(tf.constant(x), training=False).numpy()
+
+  weights = {v.name[:-2]: v.numpy() for v in ref.weights}
+
+  import jax
+  from automl_tpu import nn
+  from automl_tpu.models import build_model
+  nn.set_policy("float32")
+  try:
+    model = build_model(model_name)
+    params = tf_compat.convert_effnet_checkpoint(weights, model)
+    ours = np.asarray(model(params, x, train=False))
+  finally:
+    nn.set_policy("mixed_bfloat16")
+
+  assert ref_logits.shape == ours.shape
+  np.testing.assert_allclose(ours, ref_logits, atol=2e-4, rtol=1e-3)
+
+
+def test_var_map_covers_all_reference_variables():
+  """Every reference variable must be consumed by the mapping (no silent
+  drops), and every mapping entry must exist in the reference."""
+  from automl_tpu.ckpt import tf_compat
+  tf_compat.reference_model_shim()
+  if "/root/reference/efficientnetv2" not in sys.path:
+    sys.path.insert(0, "/root/reference/efficientnetv2")
+  import effnetv2_model
+  import tensorflow as tf
+  import tf_keras
+  tf_keras.backend.clear_session()
+
+  ref = effnetv2_model.EffNetV2Model("efficientnetv2-b0")
+  ref(tf.zeros((1, 32, 32, 3)), training=False)
+  ref_names = {v.name[:-2] for v in ref.weights}
+
+  from automl_tpu.models import build_model
+  model = build_model("efficientnetv2-b0")
+  var_map = tf_compat.effnet_var_map(model)
+
+  missing_in_map = ref_names - set(var_map)
+  missing_in_ref = set(var_map) - ref_names
+  assert not missing_in_map, sorted(missing_in_map)[:10]
+  assert not missing_in_ref, sorted(missing_in_ref)[:10]

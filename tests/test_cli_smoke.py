@@ -1,0 +1,62 @@
+"""CLI smoke tests on tiny named configs (cf. efficientnetv2/smoke_test.py):
+one real train step / serve through each entry point."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+def test_main_cls_smoke(tmp_path):
+  from automl_tpu.cli import main_cls
+  metrics = main_cls.main([
+      "--model_name=efficientnetv2-test",
+      f"--model_dir={tmp_path}/cls", "--train_steps=2"])
+  assert np.isfinite(metrics["loss"])
+  assert (tmp_path / "cls" / "config.yaml").exists()
+
+
+def test_main_det_smoke(tmp_path):
+  from automl_tpu.cli import main_det
+  metrics = main_det.main([
+      "--model_name=efficientdet-test",
+      f"--model_dir={tmp_path}/det", "--train_steps=2", "--use_fake_data"])
+  assert np.isfinite(metrics["loss"])
+  assert metrics["num_positives"] > 0
+
+
+def test_inspector_dry_and_bm(capsys):
+  from automl_tpu.cli import inspector
+  inspector.main(["--runmode=dry", "--model_name=efficientdet-test"])
+  out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+  assert out["ok"] is True
+  inspector.main(["--runmode=bm", "--model_name=efficientdet-test",
+                  "--bm_runs=2"])
+  out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+  assert out["fps"] > 0
+
+
+def test_serving_driver_visualize():
+  from automl_tpu.inference.driver import ServingDriver
+  driver = ServingDriver("efficientdet-test", batch_size=1,
+                         mixed_precision=False).init_random()
+  img = np.random.RandomState(0).randint(0, 255, (96, 128, 3), np.uint8)
+  dets = driver.serve(img[None])
+  assert dets["boxes"].shape[0] == 1
+  annotated = driver.visualize(img, dets, 0, min_score_thresh=0.0)
+  assert annotated.shape == img.shape
+
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+  import jax
+  import jax.numpy as jnp
+  from automl_tpu.train.checkpoint import CheckpointManager
+  state = {"params": {"w": jnp.arange(4.0)}, "step": jnp.asarray(3)}
+  mngr = CheckpointManager(str(tmp_path / "ckpt"), async_save=False)
+  assert mngr.save(3, state)
+  mngr.wait_until_finished()
+  template = jax.tree_util.tree_map(jnp.zeros_like, state)
+  restored = mngr.restore(template)
+  np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                np.arange(4.0))
+  assert mngr.latest_step() == 3

@@ -1,0 +1,135 @@
+"""Data pipeline tests: device augmentation ops, preprocess geometry with
+box co-transforms, synthetic loaders."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from automl_tpu.data import augment, pipeline, preprocessing
+
+
+def _img(h=16, w=16, c=3, seed=0):
+  return jax.random.uniform(jax.random.key(seed), (h, w, c)) * 255.0
+
+
+def test_color_ops_ranges():
+  img = _img()
+  for fn in (augment.autocontrast, augment.invert, augment.equalize):
+    out = fn(img)
+    assert out.shape == img.shape
+    assert float(out.min()) >= 0 and float(out.max()) <= 255
+  assert float(jnp.max(jnp.abs(augment.invert(img) - (255 - img)))) < 1e-5
+
+
+def test_posterize_and_solarize():
+  img = jnp.full((4, 4, 3), 201.0)
+  out = augment.posterize(img, jnp.asarray(2))
+  assert float(out[0, 0, 0]) == 192.0  # 201 -> keep top 2 bits
+  sol = augment.solarize(img, threshold=128.0)
+  assert float(sol[0, 0, 0]) == 54.0  # 255 - 201
+
+
+def test_blend_ops_identity_at_factor_one():
+  img = _img()
+  for fn in (augment.color, augment.contrast, augment.brightness,
+             augment.sharpness):
+    out = fn(img, 1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=0.5)
+
+
+def test_rotate_translate_shear():
+  img = _img(8, 8)
+  out = augment.rotate(img, 90.0)
+  assert out.shape == img.shape
+  tx = augment.translate_x(img, 2.0)
+  # shifted right by 2: out[:, 3] == in[:, 1] (nearest, inverse map x+2)
+  np.testing.assert_allclose(np.asarray(tx[:, 1]), np.asarray(img[:, 3]),
+                             atol=1e-4)
+  sx = augment.shear_x_op(img, 0.5)
+  assert sx.shape == img.shape
+
+
+def test_randaugment_batched_changes_images():
+  imgs = jnp.stack([_img(16, 16, seed=i) for i in range(4)])
+  out = augment.batched_randaugment(imgs, jax.random.key(0), 2, 10.0)
+  assert out.shape == imgs.shape
+  assert not np.allclose(np.asarray(out), np.asarray(imgs))
+  assert float(out.min()) >= 0 and float(out.max()) <= 255
+
+
+def test_mixup_cutmix_label_mixing():
+  imgs = jnp.stack([jnp.zeros((8, 8, 3)), jnp.full((8, 8, 3), 255.0)])
+  labels = jnp.eye(2, dtype=jnp.float32)
+  m_img, m_lab = augment.mixup(imgs, labels, jax.random.key(0), alpha=0.5)
+  np.testing.assert_allclose(np.asarray(jnp.sum(m_lab, -1)), [1.0, 1.0],
+                             rtol=1e-5)
+  c_img, c_lab = augment.cutmix(imgs, labels, jax.random.key(1), alpha=1.0)
+  np.testing.assert_allclose(np.asarray(jnp.sum(c_lab, -1)), [1.0, 1.0],
+                             rtol=1e-5)
+  both_img, both_lab = augment.mixing(imgs, labels, jax.random.key(2),
+                                      mixup_alpha=0.2, cutmix_alpha=0.2)
+  assert both_img.shape == imgs.shape and both_lab.shape == labels.shape
+
+
+def test_cls_preprocess_shapes():
+  imgs = jnp.zeros((2, 40, 40, 3), jnp.uint8)
+  out = preprocessing.cls_train_preprocess(imgs, jax.random.key(0), 32,
+                                           augname="randaug", ra_magnitude=5.0)
+  assert out.shape == (2, 32, 32, 3) and out.dtype == jnp.float32
+  ev = preprocessing.cls_eval_preprocess(jnp.zeros((2, 64, 64, 3)), 32)
+  assert ev.shape == (2, 32, 32, 3)
+
+
+def test_det_preprocess_box_transform():
+  # content 32x32 on a 32-canvas, one box; no flip/jitter randomness when
+  # jitter range is degenerate (scale == 1) -> box must map through exactly.
+  img = _img(32, 32)
+  boxes = jnp.array([[8.0, 8.0, 16.0, 16.0], [0, 0, 0, 0]])
+  classes = jnp.array([5, -1], jnp.int32)
+  out, nb, nc = preprocessing.det_train_preprocess(
+      img, boxes, classes, jax.random.key(0), out_size=32,
+      jitter_min=1.0, jitter_max=1.0, rand_hflip=False)
+  assert out.shape == (32, 32, 3)
+  np.testing.assert_allclose(np.asarray(nb[0]), [8, 8, 16, 16], atol=1e-3)
+  assert int(nc[0]) == 5 and int(nc[1]) == -1
+
+
+def test_det_preprocess_flip_boxes():
+  img = _img(32, 32)
+  boxes = jnp.array([[0.0, 0.0, 8.0, 8.0]])
+  classes = jnp.array([1], jnp.int32)
+  # force flip by trying seeds until flipped (deterministic given seed)
+  for seed in range(10):
+    out, nb, nc = preprocessing.det_train_preprocess(
+        img, boxes, classes, jax.random.key(seed), out_size=32,
+        jitter_min=1.0, jitter_max=1.0, rand_hflip=True)
+    if abs(float(nb[0, 1]) - 24.0) < 1e-3:
+      # x-flipped: [0, 24, 8, 32]
+      np.testing.assert_allclose(np.asarray(nb[0]), [0, 24, 8, 32], atol=1e-3)
+      break
+  else:
+    raise AssertionError("no flip in 10 seeds (bernoulli broken?)")
+
+
+def test_det_eval_preprocess_scale():
+  img = jnp.ones((20, 40, 3)) * 255.0
+  out, scale = preprocessing.det_eval_preprocess(img, out_size=32)
+  assert out.shape == (32, 32, 3)
+  np.testing.assert_allclose(scale, 40 / 32, rtol=1e-6)
+  # bottom region (beyond 20 * 32/40 = 16 rows) is blanked to normalized zero
+  blank = preprocessing.normalize_image(jnp.zeros((1, 1, 3)))
+  np.testing.assert_allclose(np.asarray(out[20:]),
+                             np.broadcast_to(np.asarray(blank), (12, 32, 3)),
+                             atol=1e-3)
+
+
+def test_synthetic_loaders():
+  it = iter(pipeline.SyntheticClassification(4, 32, 10))
+  b = next(it)
+  assert b["image"].shape == (4, 32, 32, 3) and b["image"].dtype == np.uint8
+  assert b["label"].shape == (4, 10)
+  itd = iter(pipeline.SyntheticDetection(2, 64, max_instances=8))
+  d = next(itd)
+  assert d["image"].shape == (2, 64, 64, 3)
+  assert d["gt_boxes"].shape == (2, 8, 4) and d["gt_classes"].shape == (2, 8)
+  assert (d["gt_classes"] >= -1).all()

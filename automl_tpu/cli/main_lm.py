@@ -1,0 +1,49 @@
+"""LM training CLI (the reference's hero/main.py).
+
+Examples:
+  python -m automl_tpu.cli.main_lm --model_dir=/tmp/lm --train_steps=50 \
+    --experiment_config="model_dim=256,n_layers=4,seq_len=512" \
+    --mesh_shape=1,2,4
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+  p = argparse.ArgumentParser(description=__doc__)
+  p.add_argument("--model_dir", required=True)
+  p.add_argument("--experiment_config", default="",
+                 help="override string onto lm_defaults()")
+  p.add_argument("--sharding_config", default="gspmd",
+                 choices=["gspmd", "dp"])
+  p.add_argument("--mesh_shape", default=None, help="e.g. 1,2,4")
+  p.add_argument("--train_steps", type=int, default=100)
+  p.add_argument("--learning_rate", type=float, default=1e-3)
+  p.add_argument("--optimizer", default="lion")
+  p.add_argument("--seed", type=int, default=0)
+  return p.parse_args(argv)
+
+
+def main(argv=None):
+  args = parse_args(argv)
+  from automl_tpu.models import lm as lm_lib
+  from automl_tpu.train import lm_trainer
+
+  config = lm_lib.lm_defaults()
+  config.override(args.experiment_config)
+  sharding = (lm_lib.ShardingConfig() if args.sharding_config == "gspmd"
+              else lm_lib.ShardingConfig.data_parallel())
+  mesh_shape = (tuple(int(x) for x in args.mesh_shape.split(","))
+                if args.mesh_shape else None)
+  logs = lm_trainer.run_lm(
+      config, args.model_dir, args.train_steps, sharding=sharding,
+      mesh_shape=mesh_shape, learning_rate=args.learning_rate,
+      optimizer=args.optimizer, seed=args.seed)
+  print({k: round(v, 4) for k, v in logs.items()})
+  return logs
+
+
+if __name__ == "__main__":
+  main()

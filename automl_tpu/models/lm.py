@@ -59,6 +59,7 @@ def lm_defaults() -> Config:
       window_size=None,       # sliding-window attention
       use_window_chunk=False, # chunked (blockwise 2-chunk) local attention
       window_chunk_size=None,
+      use_flash_attention=False,  # Pallas kernel for train/prefill attention
       tie_embeddings=True,
       use_scan=True,
       use_remat=True,
@@ -211,6 +212,15 @@ class Attention(Module):
       new_cache = {"k": k, "v": v}
     else:
       new_cache = {"k": k, "v": v}
+      if cfg.get("use_flash_attention"):
+        # Pallas flash kernel: full-sequence causal(+window) path
+        # (training / prefill-without-cache; decode keeps the einsum path).
+        from automl_tpu.ops.attention import flash_attention
+        out = flash_attention(
+            q, k, v, causal=True, window=cfg.window_size,
+            logit_cap=cfg.attn_logit_cap or 0.0, sm_scale=1.0)
+        out = jnp.einsum("bqnh,dnh->bqd", out.astype(adt), wo)
+        return _constrain(out, sh.activation), new_cache
 
     # GQA: repeat kv heads to match q heads.
     if self.n_kv != self.n_heads:

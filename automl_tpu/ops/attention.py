@@ -1,0 +1,289 @@
+"""Flash attention for TPU: Pallas forward kernel + blocked-XLA backward.
+
+The reference plumbs a `use_flash_attention` flag that is never implemented
+(hero/config_lib.py:171 -> model_lib.py:574,1007, unread in Attention.apply).
+Here it is real: an online-softmax streaming kernel that never materializes
+the [T, T] score matrix, with causal + sliding-window masking and the
+reference's attention logit soft-cap (50.0) fused in.
+
+Design (per pallas_guide.md):
+  * grid (batch*heads, q_blocks, k_blocks), k innermost; VMEM scratch carries
+    the running (max, sum, accumulator) across k blocks; output written at the
+    last k block.
+  * fully-masked k blocks are skipped at trace time for causal/window cases
+    (compile-time grid pruning via index re-mapping would go further; the
+    @pl.when guard keeps the kernel simple and still skips the FLOPs).
+  * backward is a blocked lax.scan (flash-style, O(T * block) memory) using
+    the saved logsumexp — XLA fuses it well on the MXU; a hand-written
+    backward kernel is a later-round optimization.
+
+flash_attention(q, k, v): q, k, v are [B, T, N, H] (kv may have fewer heads —
+GQA is handled by the caller repeating, or pass n_rep).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _mask_block(qi, kj, block_q, block_k, causal, window, seq_len):
+  """Boolean [block_q, block_k] mask for q block qi, k block kj."""
+  q_pos = qi * block_q + jax.lax.broadcasted_iota(
+      jnp.int32, (block_q, block_k), 0)
+  k_pos = kj * block_k + jax.lax.broadcasted_iota(
+      jnp.int32, (block_q, block_k), 1)
+  mask = k_pos < seq_len  # partial trailing block: pad lanes contribute 0
+  if causal:
+    mask &= q_pos >= k_pos
+  if window is not None:
+    mask &= (q_pos - k_pos) < window
+  return mask
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, block_q, block_k, num_k_blocks,
+                causal, window, logit_cap, sm_scale, seq_len):
+  kj = pl.program_id(2)
+  qi = pl.program_id(1)
+
+  @pl.when(kj == 0)
+  def _init():
+    m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+    l_scr[:] = jnp.zeros_like(l_scr)
+    acc_scr[:] = jnp.zeros_like(acc_scr)
+
+  q = q_ref[0].astype(jnp.float32) * sm_scale       # [bq, H]
+  k = k_ref[0].astype(jnp.float32)                  # [bk, H]
+  v = v_ref[0].astype(jnp.float32)                  # [bk, H]
+  # zero pad rows of the trailing partial block: they are uninitialized, and
+  # even p == 0 can't mask NaNs through the p @ v dot (0 * NaN = NaN)
+  k_rows = kj * block_k + jax.lax.broadcasted_iota(
+      jnp.int32, (block_k, 1), 0)
+  row_valid = k_rows < seq_len
+  k = jnp.where(row_valid, k, 0.0)
+  v = jnp.where(row_valid, v, 0.0)
+  s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.float32)  # [bq, bk]
+  if logit_cap:
+    s = logit_cap * jnp.tanh(s / logit_cap)
+  mask = _mask_block(qi, kj, block_q, block_k, causal, window, seq_len)
+  s = jnp.where(mask, s, NEG_INF)
+
+  m_prev = m_scr[:]                                 # [bq, 1]
+  m_cur = jnp.max(s, axis=1, keepdims=True)
+  m_new = jnp.maximum(m_prev, m_cur)
+  alpha = jnp.exp(m_prev - m_new)
+  p = jnp.exp(s - m_new)                            # [bq, bk]
+  l_new = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+  acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+      p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+  m_scr[:] = m_new
+  l_scr[:] = l_new
+
+  @pl.when(kj == num_k_blocks - 1)
+  def _finalize():
+    l = jnp.maximum(l_scr[:], 1e-30)
+    o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+    # lse block is (1, 8, block_q) to satisfy TPU (8, 128) tiling; broadcast
+    # the row values across the 8 sublanes (caller reads sublane 0)
+    lse = (m_scr[:] + jnp.log(l))[:, 0]
+    lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
+
+
+def _flash_fwd_pallas(q, k, v, *, causal, window, logit_cap, sm_scale,
+                      block_q, block_k, interpret):
+  """q, k, v: [BN, T, H] -> (out [BN, T, H], lse [BN, T])."""
+  bn, t, h = q.shape
+  block_q = min(block_q, t)
+  block_k = min(block_k, t)
+  num_q = pl.cdiv(t, block_q)
+  num_k = pl.cdiv(t, block_k)
+
+  kernel = functools.partial(
+      _fwd_kernel, block_q=block_q, block_k=block_k, num_k_blocks=num_k,
+      causal=causal, window=window, logit_cap=logit_cap, sm_scale=sm_scale,
+      seq_len=t)
+
+  out, lse = pl.pallas_call(
+      kernel,
+      grid=(bn, num_q, num_k),
+      in_specs=[
+          pl.BlockSpec((1, block_q, h), lambda b, i, j: (b, i, 0)),
+          pl.BlockSpec((1, block_k, h), lambda b, i, j: (b, j, 0)),
+          pl.BlockSpec((1, block_k, h), lambda b, i, j: (b, j, 0)),
+      ],
+      out_specs=[
+          pl.BlockSpec((1, block_q, h), lambda b, i, j: (b, i, 0)),
+          pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((bn, t, h), q.dtype),
+          jax.ShapeDtypeStruct((bn, 8, t), jnp.float32),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((block_q, 1), jnp.float32),
+          pltpu.VMEM((block_q, 1), jnp.float32),
+          pltpu.VMEM((block_q, h), jnp.float32),
+      ],
+      interpret=interpret,
+  )(q, k, v)
+  return out, lse[:, 0, :]
+
+
+def _dense_logits(q, k, *, logit_cap, sm_scale):
+  s = jnp.einsum("bqh,bkh->bqk", q.astype(jnp.float32),
+                 k.astype(jnp.float32)) * sm_scale
+  if logit_cap:
+    s = logit_cap * jnp.tanh(s / logit_cap)
+  return s
+
+
+def _full_mask(t, causal, window):
+  q_pos = jnp.arange(t)[:, None]
+  k_pos = jnp.arange(t)[None, :]
+  mask = jnp.ones((t, t), bool)
+  if causal:
+    mask &= q_pos >= k_pos
+  if window is not None:
+    mask &= (q_pos - k_pos) < window
+  return mask
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flash(q, k, v, causal, window, logit_cap, sm_scale, block_q, block_k,
+           interpret):
+  out, _ = _flash_fwd_pallas(q, k, v, causal=causal, window=window,
+                             logit_cap=logit_cap, sm_scale=sm_scale,
+                             block_q=block_q, block_k=block_k,
+                             interpret=interpret)
+  return out
+
+
+def _flash_fwd(q, k, v, causal, window, logit_cap, sm_scale, block_q, block_k,
+               interpret):
+  out, lse = _flash_fwd_pallas(q, k, v, causal=causal, window=window,
+                               logit_cap=logit_cap, sm_scale=sm_scale,
+                               block_q=block_q, block_k=block_k,
+                               interpret=interpret)
+  return out, (q, k, v, out, lse)
+
+
+def _flash_bwd(causal, window, logit_cap, sm_scale, block_q, block_k,
+               interpret, res, g):
+  """Blocked flash backward in XLA: scan over k blocks (dq) / q blocks (dkv)."""
+  q, k, v, out, lse = res
+  bn, t, h = q.shape
+  bq = min(block_q, t)
+  g = g.astype(jnp.float32)
+  qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+  delta = jnp.sum(g * out.astype(jnp.float32), axis=-1)  # [BN, T]
+  mask = _full_mask(t, causal, window)
+
+  num_q = t // bq if t % bq == 0 else -(-t // bq)
+  pad = num_q * bq - t
+  if pad:
+    qf = jnp.pad(qf, ((0, 0), (0, pad), (0, 0)))
+    g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    lse_p = jnp.pad(lse, ((0, 0), (0, pad)))
+    delta_p = jnp.pad(delta, ((0, 0), (0, pad)))
+    mask_p = jnp.pad(mask, ((0, pad), (0, 0)))
+  else:
+    lse_p, delta_p, mask_p = lse, delta, mask
+
+  def q_block(carry, xs):
+    dk_acc, dv_acc = carry
+    qb, gb, lseb, deltab, maskb = xs  # [BN,bq,H],[BN,bq,H],[BN,bq],[BN,bq],[bq,T]
+    s = jnp.einsum("bqh,bkh->bqk", qb, kf) * sm_scale
+    if logit_cap:
+      capped = jnp.tanh(s / logit_cap)
+      ds_dS = 1.0 - jnp.square(capped)  # d(cap*tanh(s/cap))/ds
+      s = logit_cap * capped
+    else:
+      ds_dS = 1.0
+    s = jnp.where(maskb[None], s, NEG_INF)
+    p = jnp.exp(s - lseb[..., None])
+    dv_acc = dv_acc + jnp.einsum("bqk,bqh->bkh", p, gb)
+    dp = jnp.einsum("bqh,bkh->bqk", gb, vf)
+    ds = p * (dp - deltab[..., None])
+    ds = ds * ds_dS * sm_scale
+    ds = jnp.where(maskb[None], ds, 0.0)
+    dq_b = jnp.einsum("bqk,bkh->bqh", ds, kf)
+    dk_acc = dk_acc + jnp.einsum("bqk,bqh->bkh", ds, qb)
+    return (dk_acc, dv_acc), dq_b
+
+  xs = (
+      qf.reshape(bn, num_q, bq, h).swapaxes(0, 1),
+      g.reshape(bn, num_q, bq, h).swapaxes(0, 1),
+      lse_p.reshape(bn, num_q, bq).swapaxes(0, 1),
+      delta_p.reshape(bn, num_q, bq).swapaxes(0, 1),
+      mask_p.reshape(num_q, bq, t),
+  )
+  (dk, dv), dq_blocks = jax.lax.scan(
+      q_block, (jnp.zeros_like(kf), jnp.zeros_like(vf)), xs)
+  dq = dq_blocks.swapaxes(0, 1).reshape(bn, num_q * bq, h)[:, :t]
+  return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q, k, v, *, causal: bool = True, window: int | None = None,
+                    logit_cap: float = 0.0, sm_scale: float | None = None,
+                    block_q: int = 128, block_k: int = 128,
+                    interpret: bool | None = None):
+  """Multi-head flash attention.
+
+  q: [B, T, N, H]; k, v: [B, T, Nkv, H] (Nkv divides N -> GQA repeat).
+  Returns [B, T, N, H]. `window`: sliding-window size (None = full causal).
+  `logit_cap`: tanh soft-cap on attention logits (reference uses 50.0).
+  """
+  b, t, n, h = q.shape
+  nkv = k.shape[2]
+  if nkv != n:
+    if n % nkv != 0:
+      raise ValueError(f"GQA requires n_heads ({n}) divisible by "
+                       f"n_kv_heads ({nkv})")
+    rep = n // nkv
+    k = jnp.repeat(k, rep, axis=2)
+    v = jnp.repeat(v, rep, axis=2)
+  if sm_scale is None:
+    sm_scale = 1.0 / math.sqrt(h)
+  if interpret is None:
+    interpret = jax.default_backend() != "tpu"
+  qf = q.transpose(0, 2, 1, 3).reshape(b * n, t, h)
+  kf = k.transpose(0, 2, 1, 3).reshape(b * n, t, h)
+  vf = v.transpose(0, 2, 1, 3).reshape(b * n, t, h)
+  out = _flash(qf, kf, vf, causal, window, logit_cap, sm_scale,
+               block_q, block_k, interpret)
+  return out.reshape(b, n, t, h).transpose(0, 2, 1, 3)
+
+
+def dense_attention(q, k, v, *, causal=True, window=None, logit_cap=0.0,
+                    sm_scale=None):
+  """Reference O(T^2) attention for golden tests."""
+  b, t, n, h = q.shape
+  nkv = k.shape[2]
+  if nkv != n:
+    rep = n // nkv
+    k = jnp.repeat(k, rep, axis=2)
+    v = jnp.repeat(v, rep, axis=2)
+  if sm_scale is None:
+    sm_scale = 1.0 / math.sqrt(h)
+  s = jnp.einsum("bqnh,bknh->bnqk", q.astype(jnp.float32),
+                 k.astype(jnp.float32)) * sm_scale
+  if logit_cap:
+    s = logit_cap * jnp.tanh(s / logit_cap)
+  mask = _full_mask(t, causal, window)
+  s = jnp.where(mask[None, None], s, NEG_INF)
+  p = jax.nn.softmax(s, axis=-1)
+  return jnp.einsum("bnqk,bknh->bqnh", p,
+                    v.astype(jnp.float32)).astype(q.dtype)

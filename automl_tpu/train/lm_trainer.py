@@ -1,0 +1,144 @@
+"""LM training: train step + runner (hero-equivalent training loop).
+
+Parity refs:
+  train_one_step       hero/model_lib.py:1332-1402 (value_and_grad, grad clip
+                       by norm, update clip by norm/rms, decoupled weight
+                       decay, manual param update)
+  run_experiment loop  hero/model_lib.py:1475-1813 (config snapshot, ckpt
+                       manager, metrics, validation)
+  sharding             hero/config_lib.py:66-134 (GSPMD / data-parallel)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from automl_tpu.models import lm as lm_lib
+from automl_tpu.train import optimizers as opt_lib
+from automl_tpu.train.checkpoint import CheckpointManager
+
+
+class LMTrainState(NamedTuple):
+  step: jnp.ndarray
+  params: Any
+  opt_state: Any
+
+
+def make_lm_train_step(model: lm_lib.TransformerLM, tx,
+                       grad_clip_norm: float = 1.0,
+                       update_clip_rms: float = 0.0,
+                       weight_decay: float = 0.0):
+  """-> step(state, batch{'tokens' [B,T+1], 'loss_weights' opt}) -> (state, logs)."""
+
+  def train_step(state: LMTrainState, batch):
+    tokens = batch["tokens"]
+    inputs, targets = tokens[:, :-1], tokens[:, 1:]
+    weights = batch.get("loss_weights")
+    if weights is not None:
+      weights = weights[:, 1:]
+
+    def loss_fn(params):
+      logits, _ = model(params, inputs)
+      return lm_lib.lm_loss(logits, targets, weights)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    gnorm = optax.global_norm(grads)
+    if grad_clip_norm:
+      scale = jnp.minimum(1.0, grad_clip_norm / jnp.maximum(gnorm, 1e-9))
+      grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    if update_clip_rms:
+      def clip_rms(u):
+        rms = jnp.sqrt(jnp.mean(jnp.square(u.astype(jnp.float32))) + 1e-12)
+        return u * jnp.minimum(1.0, update_clip_rms / rms)
+      updates = jax.tree_util.tree_map(clip_rms, updates)
+    if weight_decay:
+      updates = jax.tree_util.tree_map(
+          lambda u, p: u - weight_decay * p, updates, state.params)
+    params = optax.apply_updates(state.params, updates)
+    logs = {"loss": loss, "gnorm": gnorm,
+            "unorm": optax.global_norm(updates)}
+    return LMTrainState(state.step + 1, params, opt_state), logs
+
+  return train_step
+
+
+class SyntheticLMData:
+  """Packed synthetic token batches (deterministic 'copy task' stream so the
+  loss measurably drops — a trainability smoke signal, cf. hero tests)."""
+
+  def __init__(self, batch_size: int, seq_len: int, vocab_size: int,
+               seed: int = 0):
+    self.rng = np.random.RandomState(seed)
+    self.b, self.t, self.v = batch_size, seq_len, vocab_size
+
+  def __iter__(self):
+    while True:
+      # repeated short pattern -> learnable next-token structure
+      pattern = self.rng.randint(1, self.v, (self.b, 4))
+      reps = (self.t + 1) // 4 + 1
+      tokens = np.tile(pattern, (1, reps))[:, :self.t + 1]
+      yield {"tokens": tokens.astype(np.int32)}
+
+
+def run_lm(config, model_dir: str, train_steps: int,
+           sharding: Optional[lm_lib.ShardingConfig] = None,
+           mesh_shape=None, data_iter=None, log_every: int = 20,
+           learning_rate: float = 1e-3, optimizer: str = "lion",
+           seed: int = 0) -> dict:
+  """Train a TransformerLM; GSPMD over a mesh when mesh_shape is given."""
+  from automl_tpu.parallel import create_mesh
+  os.makedirs(model_dir, exist_ok=True)
+  config.save_to_yaml(os.path.join(model_dir, "experiment_config.yaml"))
+
+  mesh = create_mesh(mesh_shape) if mesh_shape else None
+  sharding = sharding or (lm_lib.ShardingConfig() if mesh
+                          else lm_lib.ShardingConfig.data_parallel())
+  model = lm_lib.TransformerLM(config, sharding)
+
+  def build():
+    params = jax.jit(model.init)(jax.random.key(seed))
+    tx = opt_lib.build_optimizer(optimizer, learning_rate)
+    state = LMTrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    return tx, state
+
+  ctx = jax.set_mesh(mesh) if mesh else None
+  if ctx:
+    ctx.__enter__()
+  try:
+    tx, state = build()
+    mngr = CheckpointManager(os.path.join(model_dir, "ckpt"))
+    restored = mngr.restore(state)
+    if restored is not None:
+      state = restored
+    step_fn = jax.jit(make_lm_train_step(model, tx))
+
+    it = data_iter if data_iter is not None else iter(
+        SyntheticLMData(8, config.seq_len, config.vocab_size))
+    logs = {}
+    t0 = time.perf_counter()
+    step = int(jax.device_get(state.step))
+    while step < train_steps:
+      batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+      with jax.profiler.StepTraceAnnotation("train", step_num=step):
+        state, logs = step_fn(state, batch)
+      step += 1
+      if step % log_every == 0 or step == train_steps:
+        l = {k: float(v) for k, v in jax.device_get(logs).items()}
+        tok_rate = step * batch["tokens"].shape[0] * config.seq_len / (
+            time.perf_counter() - t0)
+        print(f"step {step} loss {l['loss']:.4f} gnorm {l['gnorm']:.3f} "
+              f"({tok_rate:.0f} tok/s)")
+    mngr.save(step, jax.device_get(state))
+    mngr.wait_until_finished()
+    return {k: float(v) for k, v in jax.device_get(logs).items()}
+  finally:
+    if ctx:
+      ctx.__exit__(None, None, None)

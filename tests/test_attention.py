@@ -1,0 +1,61 @@
+"""Flash attention golden tests vs dense attention (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from automl_tpu.ops.attention import dense_attention, flash_attention
+
+
+def _qkv(b=2, t=64, n=2, nkv=None, h=16, seed=0):
+  nkv = nkv or n
+  keys = jax.random.split(jax.random.key(seed), 3)
+  q = jax.random.normal(keys[0], (b, t, n, h))
+  k = jax.random.normal(keys[1], (b, t, nkv, h))
+  v = jax.random.normal(keys[2], (b, t, nkv, h))
+  return q, k, v
+
+
+@pytest.mark.parametrize("window,logit_cap", [
+    (None, 0.0), (None, 50.0), (16, 0.0), (16, 50.0)])
+def test_flash_matches_dense(window, logit_cap):
+  q, k, v = _qkv()
+  out = flash_attention(q, k, v, window=window, logit_cap=logit_cap,
+                        block_q=16, block_k=16, interpret=True)
+  want = dense_attention(q, k, v, window=window, logit_cap=logit_cap)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+
+def test_flash_gqa():
+  q, k, v = _qkv(n=4, nkv=2)
+  out = flash_attention(q, k, v, block_q=16, block_k=16, interpret=True)
+  want = dense_attention(q, k, v)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+
+def test_flash_non_divisible_t():
+  q, k, v = _qkv(t=48)
+  out = flash_attention(q, k, v, block_q=32, block_k=32, interpret=True)
+  want = dense_attention(q, k, v)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("window,logit_cap", [(None, 0.0), (8, 50.0)])
+def test_flash_gradients_match_dense(window, logit_cap):
+  q, k, v = _qkv(b=1, t=32, n=2, h=8)
+
+  def loss_flash(q, k, v):
+    return jnp.sum(jnp.square(flash_attention(
+        q, k, v, window=window, logit_cap=logit_cap,
+        block_q=16, block_k=16, interpret=True)))
+
+  def loss_dense(q, k, v):
+    return jnp.sum(jnp.square(dense_attention(
+        q, k, v, window=window, logit_cap=logit_cap)))
+
+  g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+  g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+  for a, b_ in zip(g1, g2):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                               atol=3e-4, rtol=1e-3)

@@ -157,3 +157,24 @@ def test_gspmd_sharded_train_step():
     loss, grads = jax.value_and_grad(loss_fn)(params, tokens)
     assert bool(jnp.isfinite(loss))
     assert jax.tree_util.tree_structure(grads) == jax.tree_util.tree_structure(params)
+
+
+def test_flash_attention_in_lm_matches_einsum():
+  cfg = tiny_cfg(use_remat=False)
+  cfg_flash = tiny_cfg(use_remat=False, use_flash_attention=True)
+  m1 = lm_lib.TransformerLM(cfg)
+  m2 = lm_lib.TransformerLM(cfg_flash)
+  params = m1.init(jax.random.key(0))
+  tokens = jax.random.randint(jax.random.key(1), (2, 16), 0, 64)
+  l1, _ = m1(params, tokens)
+  l2, _ = m2(params, tokens)
+  np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                             atol=5e-4, rtol=1e-3)
+
+
+def test_lm_trainer_loss_drops(tmp_path):
+  from automl_tpu.train import lm_trainer
+  cfg = tiny_cfg(use_remat=False)
+  logs = lm_trainer.run_lm(cfg, str(tmp_path / "lm"), train_steps=60,
+                           log_every=60, learning_rate=5e-3)
+  assert logs["loss"] < 3.9  # copy task: below ln(64)=4.16 uniform

@@ -110,6 +110,149 @@ def effnet_var_map(model: EfficientNet,
   return out
 
 
+def effdet_var_map(model) -> dict[str, tuple]:
+  """{tf_var_name: (pytree_path, transform)} for a full EfficientDet.
+
+  Naming observed from the reference EfficientDetNet (tf2/efficientdet_keras.py
+  name scopes, verified by instantiation):
+    {backbone_name}/...                          (effnet map, no head)
+    resample_p6/{conv2d/{kernel,bias}, bn/*}
+    fpn_cells/cell_{r}/fnode{i}/WSM[_k]          (fusion weights, scalars)
+    fpn_cells/cell_{r}/fnode{i}/resample_{j}_{off}_{num_levels+i}/...
+    fpn_cells/cell_{r}/fnode{i}/op_after_combine{num_levels+i}/
+        conv/{depthwise_kernel,pointwise_kernel,bias}, bn/*
+    {class,box}_net/{class,box}-{i}/{depthwise_kernel,pointwise_kernel,bias}
+    {class,box}_net/{class,box}-{i}-bn-{LEVEL}/*  (LEVEL = 3..max_level)
+    {class,box}_net/{class,box}-predict/...
+  WSM scalars are stacked into our per-fnode 'wsm' vector by the converter
+  (returned here under the pseudo-transform ('wsm_stack', n)).
+  """
+  config = model.config
+  ident = lambda x: x
+  out: dict[str, tuple] = {}
+
+  def bn(tf_prefix, path):
+    for leaf in ("gamma", "beta", "moving_mean", "moving_variance"):
+      out[f"{tf_prefix}/{leaf}"] = (path + (leaf,), ident)
+
+  def sep_conv(tf_prefix, path):
+    out[f"{tf_prefix}/depthwise_kernel"] = (
+        path + ("depthwise", "kernel"), _dw_transpose)
+    out[f"{tf_prefix}/pointwise_kernel"] = (
+        path + ("pointwise", "kernel"), ident)
+    out[f"{tf_prefix}/bias"] = (path + ("pointwise", "bias"), ident)
+
+  def full_conv(tf_prefix, path, bias=True):
+    out[f"{tf_prefix}/kernel"] = (path + ("kernel",), ident)
+    if bias:
+      out[f"{tf_prefix}/bias"] = (path + ("bias",), ident)
+
+  # backbone
+  for tf_name, (path, tr) in effnet_var_map(
+      model.backbone, scope=config.backbone_name).items():
+    out[tf_name] = (("backbone",) + path, tr)
+
+  # P6.. resample layers
+  for layer in model.resample_layers:
+    if layer.needs_1x1:
+      full_conv(f"{layer.name}/conv2d", (layer.name, "conv2d"))
+      bn(f"{layer.name}/bn", (layer.name, "bn"))
+
+  # BiFPN cells
+  num_levels = config.max_level - config.min_level + 1
+  for cell in model.fpn_cells.cells:
+    for ni, fnode in enumerate(cell.fnodes):
+      scope = f"fpn_cells/{cell.name}/fnode{ni}"
+      base = ("fpn_cells", cell.name, fnode.name)
+      if fnode.weight_method in ("attn", "fastattn", "channel_attn",
+                                 "channel_fastattn"):
+        n = len(fnode.inputs_offsets)
+        for j in range(n):
+          wsm = "WSM" if j == 0 else f"WSM_{j}"
+          out[f"{scope}/{wsm}"] = (base + ("wsm",), ("wsm_stack", j, n))
+      for j, offset in enumerate(fnode.inputs_offsets):
+        rl = fnode.resample_layers[j]
+        if rl.needs_1x1:
+          rscope = f"{scope}/resample_{j}_{offset}_{num_levels + ni}"
+          full_conv(f"{rscope}/conv2d", base + (rl.name, "conv2d"))
+          bn(f"{rscope}/bn", base + (rl.name, "bn"))
+      oc = fnode.op_after_combine
+      oscope = f"{scope}/op_after_combine{num_levels + ni}"
+      opath = base + (oc.name,)
+      if config.separable_conv:
+        sep_conv(f"{oscope}/conv", opath + ("conv",))
+      else:
+        full_conv(f"{oscope}/conv", opath + ("conv",))
+      bn(f"{oscope}/bn", opath + ("bn",))
+
+  # heads
+  for net, prefix, root in ((model.class_net, "class", "class_net"),
+                            (model.box_net, "box", "box_net")):
+    for i, conv in enumerate(net.convs):
+      cpath = (root, conv.name)
+      if config.separable_conv:
+        sep_conv(f"{root}/{prefix}-{i}", cpath)
+      else:
+        full_conv(f"{root}/{prefix}-{i}", cpath)
+      for lvl_id, bn_layer in enumerate(net.bns[i]):
+        bn(f"{root}/{prefix}-{i}-bn-{config.min_level + lvl_id}",
+           (root, bn_layer.name))
+    ppath = (root, net.predict.name)
+    if config.separable_conv:
+      sep_conv(f"{root}/{prefix}-predict", ppath)
+    else:
+      full_conv(f"{root}/{prefix}-predict", ppath)
+  return out
+
+
+def convert_effdet_checkpoint(ckpt, model, params=None, use_ema: bool = False,
+                              strict: bool = True):
+  """TF EfficientDet checkpoint (path or {name: array}) -> our params pytree."""
+  import jax
+  if isinstance(ckpt, str):
+    ckpt = load_tf_checkpoint(ckpt)
+  if params is None:
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(model.init, jax.random.key(0)))
+  var_map = effdet_var_map(model)
+
+  def get_node(tree, path):
+    node = tree
+    for k in path[:-1]:
+      node = node[k]
+    return node
+
+  missing = []
+  for tf_name, (path, transform) in var_map.items():
+    name = tf_name
+    if use_ema and f"{tf_name}/ExponentialMovingAverage" in ckpt:
+      name = f"{tf_name}/ExponentialMovingAverage"
+    if name not in ckpt:
+      missing.append(tf_name)
+      continue
+    value = np.asarray(ckpt[name])
+    node = get_node(params, path)
+    leaf = path[-1]
+    if isinstance(transform, tuple) and transform[0] == "wsm_stack":
+      _, j, n = transform
+      cur = np.asarray(node[leaf])
+      cur = cur.copy()
+      cur[j] = value
+      node[leaf] = jnp.asarray(cur, node[leaf].dtype)
+    else:
+      value = transform(value)
+      want = node[leaf]
+      if tuple(want.shape) != tuple(value.shape):
+        raise ValueError(f"shape mismatch at {path}: ckpt {value.shape} "
+                         f"vs model {tuple(want.shape)}")
+      node[leaf] = jnp.asarray(value, want.dtype)
+  if missing and strict:
+    raise KeyError(f"{len(missing)} variables missing from checkpoint, e.g. "
+                   f"{missing[:5]}")
+  return params
+
+
 def load_tf_checkpoint(path: str) -> dict[str, np.ndarray]:
   """Read every tensor from a TF checkpoint into {name: ndarray}."""
   import tensorflow as tf
@@ -163,11 +306,39 @@ def convert_effnet_checkpoint(ckpt, model: EfficientNet, params=None,
   return params
 
 
+def import_reference_module(subproject: str, module: str):
+  """Import a module from /root/reference/<subproject> with a clean path.
+
+  Both reference subprojects define top-level `utils` (and friends); purge the
+  colliding modules and pin the wanted subproject at sys.path[0]."""
+  import importlib
+  import sys
+  base = f"/root/reference/{subproject}"
+  for other in ("efficientdet", "efficientnetv2"):
+    p = f"/root/reference/{other}"
+    while p in sys.path:
+      sys.path.remove(p)
+  for name in ("utils", "hparams_config", "hparams", "effnetv2_model",
+               "effnetv2_configs", "backbone", "backbone.efficientnet_model",
+               "backbone.efficientnet_builder", "tf2", "tf2.efficientdet_keras",
+               "tf2.fpn_configs", "tf2.util_keras", "tf2.postprocess",
+               "tf2.anchors", "nms_np", "dataloader", "iou_utils",
+               "aug", "aug.autoaugment", "object_detection"):
+    sys.modules.pop(name, None)
+  sys.path.insert(0, base)
+  return importlib.import_module(module)
+
+
 def reference_model_shim():
   """Make the reference's TF code importable: route tf.keras to legacy Keras 2
-  (tf_keras) and stub tensorflow_addons. Host/test tooling only."""
+  (tf_keras) and stub tensorflow_addons. Host/test tooling only.
+
+  Must run before tensorflow is first imported for compat.v2.keras to pick up
+  legacy keras (TF_USE_LEGACY_KERAS)."""
+  import os
   import sys
   import types
+  os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
   import tensorflow as tf
   import tf_keras
   tf.config.set_visible_devices([], "GPU")

@@ -349,6 +349,57 @@ def mixing(images, labels, rng, mixup_alpha: float = 0.0,
 
 
 # ---------------------------------------------------------------------------
+# Mosaic (detection): 4 images -> 1, boxes co-transformed.
+# ---------------------------------------------------------------------------
+
+
+def mosaic(images, boxes, classes, rng, center_range=(0.25, 0.75)):
+  """Fuse 4 images into one mosaic with a random center split.
+
+  images: [4, H, W, C]; boxes: [4, G, 4] absolute; classes: [4, G].
+  Returns (image [H, W, C], boxes [4*G, 4], classes [4*G]).
+  (Capability parity: efficientdet/aug/mosaic.py:23-136; implemented as four
+  traced affine warps + quadrant masks so it jits with static shapes.)
+  """
+  _, h, w, c = images.shape
+  k1, k2 = jax.random.split(rng)
+  cy = (center_range[0] + jax.random.uniform(k1, ())
+        * (center_range[1] - center_range[0])) * h
+  cx = (center_range[0] + jax.random.uniform(k2, ())
+        * (center_range[1] - center_range[0])) * w
+
+  yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+  xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+  quads = [  # (y0, x0, y1, x1) of each quadrant as traced scalars
+      (0.0, 0.0, cy, cx), (0.0, cx, cy, jnp.float32(w)),
+      (cy, 0.0, jnp.float32(h), cx), (cy, cx, jnp.float32(h), jnp.float32(w)),
+  ]
+  out = jnp.zeros((h, w, c), jnp.float32)
+  out_boxes, out_classes = [], []
+  for i, (y0, x0, y1, x1) in enumerate(quads):
+    qh = jnp.maximum(y1 - y0, 1.0)
+    qw = jnp.maximum(x1 - x0, 1.0)
+    sy, sx = h / qh, w / qw   # inverse scale: quadrant -> full image
+    m = jnp.eye(3, dtype=jnp.float32)
+    m = m.at[0, 0].set(sy).at[1, 1].set(sx)
+    m = m.at[0, 2].set(-y0 * sy).at[1, 2].set(-x0 * sx)
+    warped = affine_warp(images[i].astype(jnp.float32), m, 0.0, "bilinear")
+    mask = ((yy >= y0) & (yy < y1) & (xx >= x0) & (xx < x1))[..., None]
+    out = jnp.where(mask, warped, out)
+    b = boxes[i]
+    nb = jnp.stack([b[:, 0] / sy + y0, b[:, 1] / sx + x0,
+                    b[:, 2] / sy + y0, b[:, 3] / sx + x0], axis=1)
+    nb = jnp.stack([jnp.clip(nb[:, 0], y0, y1), jnp.clip(nb[:, 1], x0, x1),
+                    jnp.clip(nb[:, 2], y0, y1), jnp.clip(nb[:, 3], x0, x1)],
+                   axis=1)
+    valid = ((nb[:, 2] - nb[:, 0] > 1) & (nb[:, 3] - nb[:, 1] > 1)
+             & (classes[i] > 0))
+    out_boxes.append(jnp.where(valid[:, None], nb, 0.0))
+    out_classes.append(jnp.where(valid, classes[i], -1))
+  return out, jnp.concatenate(out_boxes), jnp.concatenate(out_classes)
+
+
+# ---------------------------------------------------------------------------
 # GridMask (detection).
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,226 @@
+"""ctypes bindings for the native C++ TFRecord + JPEG loader, plus a
+dependency-free TF-Example wire-format parser.
+
+The native library (native/tfrecord_jpeg.cc) replaces tf.data's C++ pipeline
+for the host path: record framing with CRC32C validation and libjpeg decode
+with fused DCT-scaled nearest resize onto a fixed canvas. The Example proto is
+parsed here with a ~60-line protobuf wire walker (no TF, no generated code).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+from typing import Iterator
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libtfrecord_jpeg.so"))
+_SRC_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "tfrecord_jpeg.cc"))
+
+_lib = None
+
+
+def build_native(force: bool = False) -> str:
+  """Compile the native library if needed; returns the .so path."""
+  if force or not os.path.exists(_LIB_PATH) or (
+      os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH)):
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", _SRC_PATH, "-ljpeg",
+         "-o", _LIB_PATH],
+        check=True, capture_output=True)
+  return _LIB_PATH
+
+
+def _load():
+  global _lib
+  if _lib is None:
+    lib = ctypes.CDLL(build_native())
+    lib.tfrecord_open.restype = ctypes.c_void_p
+    lib.tfrecord_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.tfrecord_next.restype = ctypes.c_int64
+    lib.tfrecord_next.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    lib.tfrecord_rewind.argtypes = [ctypes.c_void_p]
+    lib.tfrecord_close.argtypes = [ctypes.c_void_p]
+    lib.jpeg_decode_resize.restype = ctypes.c_int
+    lib.jpeg_decode_resize.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
+    _lib = lib
+  return _lib
+
+
+class TFRecordFile:
+  """Iterate raw records of one TFRecord file via the native reader."""
+
+  def __init__(self, path: str, check_crc: bool = True):
+    self._lib = _load()
+    self._handle = self._lib.tfrecord_open(path.encode(), int(check_crc))
+    if not self._handle:
+      raise FileNotFoundError(path)
+
+  def __iter__(self) -> Iterator[bytes]:
+    ptr = ctypes.POINTER(ctypes.c_uint8)()
+    while True:
+      n = self._lib.tfrecord_next(self._handle, ctypes.byref(ptr))
+      if n == -2:
+        return
+      if n < 0:
+        raise IOError("corrupt TFRecord (CRC mismatch)")
+      yield ctypes.string_at(ptr, n)
+
+  def rewind(self):
+    self._lib.tfrecord_rewind(self._handle)
+
+  def close(self):
+    if self._handle:
+      self._lib.tfrecord_close(self._handle)
+      self._handle = None
+
+  def __del__(self):
+    try:
+      self.close()
+    except Exception:
+      pass
+
+
+def jpeg_decode_to_canvas(data: bytes, out_h: int, out_w: int):
+  """-> (canvas uint8 [out_h, out_w, 3], (content_h, content_w))."""
+  lib = _load()
+  out = np.zeros((out_h, out_w, 3), np.uint8)
+  hw = (ctypes.c_int * 2)()
+  buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+  rc = lib.jpeg_decode_resize(
+      buf, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+      out_h, out_w, hw)
+  if rc != 0:
+    raise ValueError("JPEG decode failed")
+  return out, (hw[0], hw[1])
+
+
+# ---------------------------------------------------------------------------
+# Minimal protobuf wire parser for tf.train.Example.
+# Example = { features: { feature map<string, Feature> } }
+# Feature = oneof { BytesList(1), FloatList(2), Int64List(3) }
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(buf: bytes, pos: int):
+  result, shift = 0, 0
+  while True:
+    b = buf[pos]
+    pos += 1
+    result |= (b & 0x7F) << shift
+    if not b & 0x80:
+      return result, pos
+    shift += 7
+
+
+def _walk_fields(buf: bytes):
+  """Yield (field_number, wire_type, value_bytes_or_int)."""
+  pos = 0
+  while pos < len(buf):
+    tag, pos = _read_varint(buf, pos)
+    field, wire = tag >> 3, tag & 7
+    if wire == 0:  # varint
+      val, pos = _read_varint(buf, pos)
+    elif wire == 1:  # 64-bit
+      val = buf[pos:pos + 8]
+      pos += 8
+    elif wire == 2:  # length-delimited
+      n, pos = _read_varint(buf, pos)
+      val = buf[pos:pos + n]
+      pos += n
+    elif wire == 5:  # 32-bit
+      val = buf[pos:pos + 4]
+      pos += 4
+    else:
+      raise ValueError(f"unsupported wire type {wire}")
+    yield field, wire, val
+
+
+def _parse_feature(buf: bytes):
+  """Feature -> list of bytes / floats / ints."""
+  for field, _, val in _walk_fields(buf):
+    if field == 1:  # BytesList
+      return [v for f, _, v in _walk_fields(val) if f == 1]
+    if field == 2:  # FloatList
+      out = []
+      for f, w, v in _walk_fields(val):
+        if f == 1 and w == 2:  # packed
+          out.extend(struct.unpack(f"<{len(v) // 4}f", v))
+        elif f == 1:
+          out.append(struct.unpack("<f", v)[0])
+      return out
+    if field == 3:  # Int64List
+      out = []
+      for f, w, v in _walk_fields(val):
+        if f == 1 and w == 0:
+          out.append(v)
+        elif f == 1 and w == 2:  # packed varints
+          p = 0
+          while p < len(v):
+            x, p = _read_varint(v, p)
+            out.append(x)
+      return out
+  return []
+
+
+def parse_example(record: bytes) -> dict:
+  """tf.train.Example bytes -> {key: list}."""
+  out = {}
+  for field, _, features_buf in _walk_fields(record):
+    if field != 1:  # Example.features
+      continue
+    for f2, _, entry in _walk_fields(features_buf):
+      if f2 != 1:  # Features.feature (map entry)
+        continue
+      key, feature = None, None
+      for f3, _, v in _walk_fields(entry):
+        if f3 == 1:
+          key = v.decode()
+        elif f3 == 2:
+          feature = v
+      if key is not None and feature is not None:
+        out[key] = _parse_feature(feature)
+  return out
+
+
+class NativeClassificationLoader:
+  """ImageNet TFRecords -> {'image': uint8 [B,S,S,3], 'label': one-hot} using
+  only the native reader + wire parser (no TF)."""
+
+  def __init__(self, files: list[str], batch_size: int, canvas_size: int,
+               num_classes: int, repeat: bool = True):
+    self.files = list(files)
+    self.batch_size = batch_size
+    self.canvas = canvas_size
+    self.num_classes = num_classes
+    self.repeat = repeat
+
+  def __iter__(self):
+    images, labels = [], []
+    while True:
+      for path in self.files:
+        for record in TFRecordFile(path):
+          ex = parse_example(record)
+          jpeg = ex.get("image/encoded", [None])[0]
+          label = int(ex.get("image/class/label", [-1])[0])
+          if jpeg is None:
+            continue
+          canvas, _ = jpeg_decode_to_canvas(jpeg, self.canvas, self.canvas)
+          images.append(canvas)
+          onehot = np.zeros((self.num_classes,), np.float32)
+          if 0 <= label < self.num_classes:
+            onehot[label] = 1.0
+          labels.append(onehot)
+          if len(images) == self.batch_size:
+            yield {"image": np.stack(images), "label": np.stack(labels)}
+            images, labels = [], []
+      if not self.repeat:
+        return

@@ -338,6 +338,42 @@ class BoxNet(_PredictionNet):
         conv_prefix="box", predict_name="box-predict", name=name)
 
 
+class SegmentationHead(Module):
+  """U-Net-style decoder over BiFPN feats: transpose-conv up + skip concat
+  (structure parity: tf2/efficientdet_keras.py:644-708)."""
+
+  def __init__(self, config: Config, name="segmentation_head"):
+    super().__init__(name)
+    num_filters = config.fpn_num_filters
+    self.act = L.activation_fn(config.act_type)
+    self.num_up = config.max_level - config.min_level
+    self.convs, self.bns = [], []
+    in_ch = num_filters
+    for level in range(self.num_up):
+      self.convs.append(L.ConvTranspose2D(in_ch, num_filters, 3, 2,
+                                          use_bias=False,
+                                          name=f"con2d_t_{level}"))
+      self.bns.append(L.BatchNorm(num_filters, name=f"bn_{level}"))
+      in_ch = num_filters * 2  # after skip concat
+    self.head = L.ConvTranspose2D(in_ch, config.seg_num_classes, 3, 2,
+                                  name="head_transpose")
+
+  def init(self, key):
+    return self.init_child(key, [*self.convs, *self.bns, self.head])
+
+  def apply(self, params, feats, train=False):
+    x = feats[-1]
+    skips = list(reversed(feats[:-1]))
+    for conv, bn, skip in zip(self.convs, self.bns, skips):
+      x = conv(params[conv.name], x)
+      x = bn(params[bn.name], x, train)
+      x = self.act(x)
+      # tiny inputs can saturate pyramid sizes at 1; crop to the skip's size
+      x = x[:, :skip.shape[1], :skip.shape[2]]
+      x = jnp.concatenate([x, skip], axis=-1)
+    return self.head(params[self.head.name], x)
+
+
 class EfficientDet(Module):
   """Backbone -> resample P6..Pmax -> BiFPN cells -> class/box heads.
 
@@ -385,14 +421,20 @@ class EfficientDet(Module):
       in_ch = config.fpn_num_filters
 
     self.fpn_cells = FPNCells(input_channels, config)
+    heads = config.get("heads") or ["object_detection"]
     num_anchors = len(config.aspect_ratios) * config.num_scales
-    self.class_net = ClassNet(config, num_anchors)
-    self.box_net = BoxNet(config, num_anchors)
+    self.class_net = self.box_net = self.seg_head = None
+    if "object_detection" in heads:
+      self.class_net = ClassNet(config, num_anchors)
+      self.box_net = BoxNet(config, num_anchors)
+    if "segmentation" in heads:
+      self.seg_head = SegmentationHead(config)
 
   def init(self, key):
-    return self.init_child(
-        key, [self.backbone, *self.resample_layers, self.fpn_cells,
-              self.class_net, self.box_net])
+    children = [self.backbone, *self.resample_layers, self.fpn_cells]
+    children += [c for c in (self.class_net, self.box_net, self.seg_head)
+                 if c is not None]
+    return self.init_child(key, children)
 
   def apply(self, params, images, train: bool = False):
     config = self.config
@@ -412,11 +454,16 @@ class EfficientDet(Module):
       feat_hw[level] = (f.shape[1], f.shape[2])
 
     feats = self.fpn_cells(params["fpn_cells"], feats, feat_hw, train)
-    cls_outputs = self.class_net(params["class_net"], feats, train)
-    box_outputs = self.box_net(params["box_net"], feats, train)
-    cls_outputs = [policy.cast_to_output(c) for c in cls_outputs]
-    box_outputs = [policy.cast_to_output(b) for b in box_outputs]
-    return cls_outputs, box_outputs
+    outputs = []
+    if self.class_net is not None:
+      cls_outputs = self.class_net(params["class_net"], feats, train)
+      box_outputs = self.box_net(params["box_net"], feats, train)
+      outputs.append([policy.cast_to_output(c) for c in cls_outputs])
+      outputs.append([policy.cast_to_output(b) for b in box_outputs])
+    if self.seg_head is not None:
+      outputs.append(policy.cast_to_output(
+          self.seg_head(params["segmentation_head"], feats, train)))
+    return tuple(outputs) if len(outputs) != 1 else outputs[0]
 
 
 def flatten_predictions(level_outputs, channels_per_anchor: int):

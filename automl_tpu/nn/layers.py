@@ -186,6 +186,38 @@ class Dense(nn.Module):
     return y
 
 
+class ConvTranspose2D(nn.Module):
+  """NHWC transposed conv (upsampling head in segmentation)."""
+
+  def __init__(self, in_ch: int, out_ch: int, kernel_size=3, strides=2,
+               use_bias=True, name="conv_transpose2d"):
+    super().__init__(name)
+    self.in_ch, self.out_ch = in_ch, out_ch
+    self.kernel_size = (kernel_size, kernel_size) if isinstance(
+        kernel_size, int) else tuple(kernel_size)
+    self.strides = (strides, strides) if isinstance(strides, int) else tuple(strides)
+    self.use_bias = use_bias
+
+  def init(self, key):
+    kh, kw = self.kernel_size
+    p = {"kernel": conv_kernel_init(key, (kh, kw, self.in_ch, self.out_ch),
+                                    get_policy().param_dtype)}
+    if self.use_bias:
+      p["bias"] = jnp.zeros((self.out_ch,), get_policy().param_dtype)
+    return p
+
+  def apply(self, params, x):
+    policy = get_policy()
+    kernel = policy.cast_to_compute(params["kernel"])
+    x = policy.cast_to_compute(x)
+    y = jax.lax.conv_transpose(
+        x, kernel, strides=self.strides, padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if self.use_bias:
+      y = y + policy.cast_to_compute(params["bias"])
+    return y
+
+
 # ---------------------------------------------------------------------------
 # Batch normalization.
 # ---------------------------------------------------------------------------

@@ -4,6 +4,8 @@ paths (mesh, GSPMD, collectives) are exercised without TPU hardware."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# reference-model parity tests need legacy keras before any tf import
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
   os.environ["XLA_FLAGS"] = (

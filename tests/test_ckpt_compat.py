@@ -22,9 +22,8 @@ pytestmark = pytest.mark.skipif(not HAS_TF, reason="tf_keras unavailable")
 def test_effnet_logits_parity_with_reference(model_name):
   from automl_tpu.ckpt import tf_compat
   tf = tf_compat.reference_model_shim()
-  if "/root/reference/efficientnetv2" not in sys.path:
-    sys.path.insert(0, "/root/reference/efficientnetv2")
-  import effnetv2_model  # reference code, runs under tf_keras
+  effnetv2_model = tf_compat.import_reference_module(
+      "efficientnetv2", "effnetv2_model")
 
   # keras name-uid counters are process-global; reset so layer names match
   # the fresh-process names used in published checkpoints
@@ -58,9 +57,8 @@ def test_var_map_covers_all_reference_variables():
   drops), and every mapping entry must exist in the reference."""
   from automl_tpu.ckpt import tf_compat
   tf_compat.reference_model_shim()
-  if "/root/reference/efficientnetv2" not in sys.path:
-    sys.path.insert(0, "/root/reference/efficientnetv2")
-  import effnetv2_model
+  effnetv2_model = tf_compat.import_reference_module(
+      "efficientnetv2", "effnetv2_model")
   import tensorflow as tf
   import tf_keras
   tf_keras.backend.clear_session()
@@ -77,3 +75,65 @@ def test_var_map_covers_all_reference_variables():
   missing_in_ref = set(var_map) - ref_names
   assert not missing_in_map, sorted(missing_in_map)[:10]
   assert not missing_in_ref, sorted(missing_in_ref)[:10]
+
+
+def test_effdet_var_map_covers_reference():
+  from automl_tpu.ckpt import tf_compat
+  tf = tf_compat.reference_model_shim()
+  edk = tf_compat.import_reference_module(
+      "efficientdet", "tf2.efficientdet_keras")
+  hparams_config = tf_compat.import_reference_module(
+      "efficientdet", "hparams_config")
+  import tf_keras
+  tf_keras.backend.clear_session()
+  cfg = hparams_config.get_efficientdet_config("efficientdet-d0")
+  cfg.image_size = 128
+  ref = edk.EfficientDetNet(config=cfg)
+  ref(tf.zeros((1, 128, 128, 3)), training=False)
+  ref_names = {v.name[:-2] for v in ref.weights}
+
+  from automl_tpu.models.efficientdet import build_detection_model
+  model = build_detection_model("efficientdet-d0", image_size=128)
+  var_map = tf_compat.effdet_var_map(model)
+  missing_in_map = ref_names - set(var_map)
+  missing_in_ref = set(var_map) - ref_names
+  assert not missing_in_map, sorted(missing_in_map)[:10]
+  assert not missing_in_ref, sorted(missing_in_ref)[:10]
+
+
+def test_effdet_logits_parity_with_reference():
+  from automl_tpu.ckpt import tf_compat
+  tf = tf_compat.reference_model_shim()
+  edk = tf_compat.import_reference_module(
+      "efficientdet", "tf2.efficientdet_keras")
+  hparams_config = tf_compat.import_reference_module(
+      "efficientdet", "hparams_config")
+  import tf_keras
+  tf_keras.backend.clear_session()
+  cfg = hparams_config.get_efficientdet_config("efficientdet-d0")
+  cfg.image_size = 128
+  ref = edk.EfficientDetNet(config=cfg)
+  rng = np.random.RandomState(0)
+  x = rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32)
+  ref_cls, ref_box = ref(tf.constant(x), training=False)
+
+  weights = {v.name[:-2]: v.numpy() for v in ref.weights}
+
+  import jax
+  from automl_tpu import nn
+  from automl_tpu.models.efficientdet import build_detection_model
+  nn.set_policy("float32")
+  try:
+    model = build_detection_model("efficientdet-d0", image_size=128)
+    params = tf_compat.convert_effdet_checkpoint(weights, model)
+    cls_out, box_out = model(params, x, train=False)
+  finally:
+    nn.set_policy("mixed_bfloat16")
+
+  assert len(cls_out) == len(ref_cls)
+  for lvl, (ours_c, ref_c, ours_b, ref_b) in enumerate(
+      zip(cls_out, ref_cls, box_out, ref_box)):
+    np.testing.assert_allclose(np.asarray(ours_c), ref_c.numpy(),
+                               atol=5e-4, rtol=1e-3, err_msg=f"cls level {lvl}")
+    np.testing.assert_allclose(np.asarray(ours_b), ref_b.numpy(),
+                               atol=5e-4, rtol=1e-3, err_msg=f"box level {lvl}")

@@ -133,3 +133,17 @@ def test_synthetic_loaders():
   assert d["image"].shape == (2, 64, 64, 3)
   assert d["gt_boxes"].shape == (2, 8, 4) and d["gt_classes"].shape == (2, 8)
   assert (d["gt_classes"] >= -1).all()
+
+
+def test_mosaic():
+  imgs = jnp.stack([jnp.full((32, 32, 3), float(i) * 50) for i in range(4)])
+  boxes = jnp.tile(jnp.array([[[4.0, 4.0, 20.0, 20.0]]]), (4, 1, 1))
+  classes = jnp.ones((4, 1), jnp.int32)
+  out, nb, nc = augment.mosaic(imgs, boxes, classes, jax.random.key(0))
+  assert out.shape == (32, 32, 3)
+  assert nb.shape == (4, 4) and nc.shape == (4,)
+  # all four source images appear
+  vals = set(np.round(np.unique(np.asarray(out))).astype(int).tolist())
+  assert {0, 50, 100, 150} <= vals
+  # boxes stay inside the canvas
+  assert float(nb.min()) >= 0 and float(nb.max()) <= 32

@@ -236,3 +236,20 @@ def test_postprocess_per_class_and_detections():
   v = int(valid[0])
   assert (np.asarray(coco)[0, :v, 3] >= 0).all()
   assert (np.asarray(coco)[0, :v, 4] >= 0).all()
+
+
+def test_wbf_ensemble():
+  from automl_tpu.ops import wbf
+  # two models, overlapping detections of the same object + one unique
+  dets = np.array([
+      [0, 10, 10, 50, 50, 0.9, 1],
+      [0, 12, 12, 52, 52, 0.7, 1],
+      [0, 100, 100, 120, 120, 0.6, 2],
+  ], np.float64)
+  out = wbf.ensemble_detections(dets, num_models=2)
+  assert out.shape[0] == 2  # clustered into 2
+  # first cluster: weighted average of the two boxes, full confidence scale
+  np.testing.assert_allclose(out[0, 1], (10 * 0.9 + 12 * 0.7) / 1.6, rtol=1e-6)
+  np.testing.assert_allclose(out[0, 5], 0.8, rtol=1e-6)  # mean * min(1, 2/2)
+  # singleton cluster: confidence scaled by 1/2
+  np.testing.assert_allclose(out[1, 5], 0.3, rtol=1e-6)

@@ -72,3 +72,20 @@ def test_tiny_forward_shapes_and_flatten():
     np.testing.assert_allclose(float(jnp.mean(probs)), 0.01, atol=0.05)
   finally:
     nn.set_policy("mixed_bfloat16")
+
+
+def test_segmentation_head():
+  nn.set_policy("float32")
+  try:
+    from automl_tpu.configs.efficientdet_configs import get_efficientdet_config
+    cfg = get_efficientdet_config("efficientdet-test")
+    cfg.heads = ["object_detection", "segmentation"]
+    cfg.image_size = 128
+    model = EfficientDet(cfg)
+    params = model.init(jax.random.key(0))
+    cls_out, box_out, seg = model(params, jnp.ones((1, 128, 128, 3)))
+    assert len(cls_out) == 5
+    # seg output upsamples P3 (stride 8) by 2: 128/8*2 = 32
+    assert seg.shape == (1, 32, 32, cfg.seg_num_classes)
+  finally:
+    nn.set_policy("mixed_bfloat16")

@@ -224,3 +224,111 @@ class NativeClassificationLoader:
             images, labels = [], []
       if not self.repeat:
         return
+
+
+# ---------------------------------------------------------------------------
+# TFRecord writing + Example building (dataset converter tools).
+# ---------------------------------------------------------------------------
+
+_CRC_TABLE = None
+
+
+def _crc32c_py(data: bytes) -> int:
+  global _CRC_TABLE
+  if _CRC_TABLE is None:
+    table = []
+    for i in range(256):
+      c = i
+      for _ in range(8):
+        c = (0x82F63B78 ^ (c >> 1)) if c & 1 else c >> 1
+      table.append(c)
+    _CRC_TABLE = table
+  c = 0xFFFFFFFF
+  for b in data:
+    c = _CRC_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
+  return c ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+  crc = _crc32c_py(data)
+  return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+class TFRecordWriter:
+  """Write TFRecord framing (CRC32C-masked), interoperable with TF readers."""
+
+  def __init__(self, path: str):
+    self._f = open(path, "wb")
+
+  def write(self, record: bytes):
+    header = struct.pack("<Q", len(record))
+    self._f.write(header)
+    self._f.write(struct.pack("<I", _masked_crc(header)))
+    self._f.write(record)
+    self._f.write(struct.pack("<I", _masked_crc(record)))
+
+  def close(self):
+    self._f.close()
+
+  def __enter__(self):
+    return self
+
+  def __exit__(self, *a):
+    self.close()
+
+
+def _write_varint(out: bytearray, value: int):
+  while True:
+    b = value & 0x7F
+    value >>= 7
+    if value:
+      out.append(b | 0x80)
+    else:
+      out.append(b)
+      return
+
+
+def _field(out: bytearray, number: int, wire: int):
+  _write_varint(out, (number << 3) | wire)
+
+
+def _length_delimited(number: int, payload: bytes) -> bytes:
+  out = bytearray()
+  _field(out, number, 2)
+  _write_varint(out, len(payload))
+  out += payload
+  return bytes(out)
+
+
+def _encode_feature(values) -> bytes:
+  inner = bytearray()
+  if values and isinstance(values[0], (bytes, str)):
+    lst = bytearray()
+    for v in values:
+      if isinstance(v, str):
+        v = v.encode()
+      lst += _length_delimited(1, v)
+    inner += _length_delimited(1, bytes(lst))          # BytesList
+  elif values and isinstance(values[0], float):
+    packed = struct.pack(f"<{len(values)}f", *values)
+    lst = _length_delimited(1, packed)                 # packed FloatList
+    inner += _length_delimited(2, bytes(lst))
+  else:
+    lst = bytearray()
+    for v in values:
+      _field(lst, 1, 0)
+      _write_varint(lst, int(v) & 0xFFFFFFFFFFFFFFFF)
+    inner += _length_delimited(3, bytes(lst))          # Int64List
+  return bytes(inner)
+
+
+def build_example(features: dict) -> bytes:
+  """{key: list of bytes/str | float | int} -> serialized tf.train.Example."""
+  feats = bytearray()
+  for key, values in features.items():
+    if not isinstance(values, (list, tuple)):
+      values = [values]
+    entry = (_length_delimited(1, key.encode())
+             + _length_delimited(2, _encode_feature(list(values))))
+    feats += _length_delimited(1, entry)               # map entry
+  return _length_delimited(1, bytes(feats))            # Example.features

@@ -22,6 +22,10 @@ def parse_args(argv=None):
   p.add_argument("--train_steps", type=int, default=100)
   p.add_argument("--learning_rate", type=float, default=1e-3)
   p.add_argument("--optimizer", default="lion")
+  p.add_argument("--train_file", default=None,
+                 help="text file of documents (blank-line separated); "
+                      "default: synthetic copy-task data")
+  p.add_argument("--batch_size", type=int, default=8)
   p.add_argument("--seed", type=int, default=0)
   return p.parse_args(argv)
 
@@ -37,9 +41,17 @@ def main(argv=None):
               else lm_lib.ShardingConfig.data_parallel())
   mesh_shape = (tuple(int(x) for x in args.mesh_shape.split(","))
                 if args.mesh_shape else None)
+  data_iter = None
+  if args.train_file:
+    from automl_tpu.data.lm_pipeline import ByteTokenizer, PackedLMLoader
+    tok = ByteTokenizer()
+    config.vocab_size = max(config.vocab_size, tok.vocab_size)
+    data_iter = iter(PackedLMLoader.from_text_file(
+        args.train_file, args.batch_size, config.seq_len, tokenizer=tok))
   logs = lm_trainer.run_lm(
       config, args.model_dir, args.train_steps, sharding=sharding,
-      mesh_shape=mesh_shape, learning_rate=args.learning_rate,
+      mesh_shape=mesh_shape, data_iter=data_iter,
+      learning_rate=args.learning_rate,
       optimizer=args.optimizer, seed=args.seed)
   print({k: round(v, 4) for k, v in logs.items()})
   return logs

@@ -190,10 +190,10 @@ class Attention(Module):
     Returns (out, new_cache)."""
     cfg, sh = self.cfg, self.sh
     adt = jnp.dtype(cfg.activation_dtype)
-    wq = _constrain(params["wq"], sh.attn_qkv).astype(adt)
-    wk = _constrain(params["wk"], sh.attn_qkv).astype(adt)
-    wv = _constrain(params["wv"], sh.attn_qkv).astype(adt)
-    wo = _constrain(params["wo"], sh.attn_o).astype(adt)
+    wq = _constrain(_maybe_dequant(params["wq"], adt), sh.attn_qkv)
+    wk = _constrain(_maybe_dequant(params["wk"], adt), sh.attn_qkv)
+    wv = _constrain(_maybe_dequant(params["wv"], adt), sh.attn_qkv)
+    wo = _constrain(_maybe_dequant(params["wo"], adt), sh.attn_o)
     x = x.astype(adt)
 
     q = jnp.einsum("btd,dnh->btnh", x, wq)
@@ -329,11 +329,11 @@ class FFN(Module):
     adt = jnp.dtype(self.cfg.activation_dtype)
     sh = self.sh
     x = x.astype(adt)
-    w0 = _constrain(params["w0"], sh.ffn0).astype(adt)
-    w1 = _constrain(params["w1"], sh.ffn1).astype(adt)
+    w0 = _constrain(_maybe_dequant(params["w0"], adt), sh.ffn0)
+    w1 = _constrain(_maybe_dequant(params["w1"], adt), sh.ffn1)
     h = jnp.einsum("btd,df->btf", x, w0)
     if self.cfg.use_gated_ffn:
-      wg = _constrain(params["wg"], sh.ffn0).astype(adt)
+      wg = _constrain(_maybe_dequant(params["wg"], adt), sh.ffn0)
       h = jax.nn.silu(jnp.einsum("btd,df->btf", x, wg)) * h
     else:
       h = jax.nn.silu(h)
@@ -430,8 +430,14 @@ class TransformerLM(Module):
       positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
     if kv_positions is None:
       kv_positions = positions
-    embed = _constrain(params["embed"], self.sh.embed)
-    x = embed[tokens].astype(adt) * (cfg.model_dim ** 0.5)
+    embed_p = params["embed"]
+    if isinstance(embed_p, dict) and "qvalue" in embed_p:
+      # gather int8 rows first, dequantize only the gathered slice
+      x = (embed_p["qvalue"][tokens].astype(adt)
+           * embed_p["scale"].astype(adt)) * (cfg.model_dim ** 0.5)
+    else:
+      embed = _constrain(embed_p, self.sh.embed)
+      x = embed[tokens].astype(adt) * (cfg.model_dim ** 0.5)
     x = _constrain(x, self.sh.activation)
     mask = self._mask(positions, kv_positions, segment_ids)
 
@@ -468,10 +474,10 @@ class TransformerLM(Module):
     x = self.final_norm(params["final_norm"], x)
     if cfg.tie_embeddings:
       logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
-                          params["embed"].astype(jnp.float32))
+                          _maybe_dequant(params["embed"], jnp.float32))
     else:
       logits = jnp.einsum("btd,dv->btv", x.astype(jnp.float32),
-                          params["unembed"].astype(jnp.float32))
+                          _maybe_dequant(params["unembed"], jnp.float32))
     if cfg.final_logit_cap:
       logits = cfg.final_logit_cap * jnp.tanh(logits / cfg.final_logit_cap)
     return logits, new_cache
@@ -481,6 +487,50 @@ class TransformerLM(Module):
     shape = (cfg.n_layers, batch_size, max_len, cfg.n_kv_heads, cfg.head_dim)
     dt = jnp.dtype(cfg.activation_dtype)
     return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+
+
+# ---------------------------------------------------------------------------
+# Int8 weight quantization (serving-memory reduction,
+# ref semantics: hero/model_lib.py:2474-2511 quantize_tfm_params).
+# ---------------------------------------------------------------------------
+
+
+def quantize_lm_params(params, min_size: int = 1 << 12):
+  """Per-output-channel symmetric int8 quantization of large weights.
+
+  Weights >= min_size elements with ndim >= 2 become
+  {'qvalue': int8, 'scale': f32 [..., out_channels]}; everything else is
+  unchanged. `_maybe_dequant` in the layers transparently consumes either
+  form. Block weights stacked over the scan/layer axis keep a per-layer
+  scale (the leading axis is never reduced) so lax.scan still slices them.
+  """
+  def quant(leaf, stacked: bool):
+    eff_ndim = leaf.ndim - (1 if stacked else 0)
+    eff_size = leaf.size // (leaf.shape[0] if stacked else 1)
+    if not hasattr(leaf, "ndim") or eff_ndim < 2 or eff_size < min_size:
+      return leaf
+    w = jnp.asarray(leaf, jnp.float32)
+    start = 1 if stacked else 0
+    axes = tuple(range(start, w.ndim - 1))
+    scale = jnp.max(jnp.abs(w), axis=axes, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return {"qvalue": q, "scale": scale.astype(jnp.float32)}
+
+  out = {}
+  for key, value in params.items():
+    if key == "blocks" and not isinstance(value, list):
+      out[key] = jax.tree_util.tree_map(lambda w: quant(w, True), value)
+    else:
+      out[key] = jax.tree_util.tree_map(lambda w: quant(w, False), value) \
+          if isinstance(value, (dict, list)) else quant(value, False)
+  return out
+
+
+def _maybe_dequant(w, dtype):
+  if isinstance(w, dict) and "qvalue" in w:
+    return (w["qvalue"].astype(dtype) * w["scale"].astype(dtype))
+  return w.astype(dtype)
 
 
 # ---------------------------------------------------------------------------

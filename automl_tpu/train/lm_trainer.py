@@ -43,9 +43,12 @@ def make_lm_train_step(model: lm_lib.TransformerLM, tx,
     weights = batch.get("loss_weights")
     if weights is not None:
       weights = weights[:, 1:]
+    segment_ids = batch.get("segment_ids")
+    if segment_ids is not None:
+      segment_ids = segment_ids[:, :-1]  # packed docs: no cross-doc attention
 
     def loss_fn(params):
-      logits, _ = model(params, inputs)
+      logits, _ = model(params, inputs, segment_ids=segment_ids)
       return lm_lib.lm_loss(logits, targets, weights)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)

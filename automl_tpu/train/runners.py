@@ -171,16 +171,29 @@ def run_detection(config, model_dir: str, train_steps: int,
   from automl_tpu.utils import parse_image_size
   size = parse_image_size(config.image_size)
 
+  aa_policy = config.get("autoaugment_policy")
+  use_gridmask = bool(config.get("grid_mask"))
+
   def preprocess(batch, rng):
-    keys = jax.random.split(rng, batch["image"].shape[0])
+    images = batch["image"].astype(jnp.float32)
+    boxes, classes = batch["gt_boxes"], batch["gt_classes"]
+    if aa_policy:  # box-aware AutoAugment before geometric jitter
+      from automl_tpu.data import det_autoaugment
+      keys = jax.random.split(jax.random.fold_in(rng, 7), images.shape[0])
+      images, boxes, classes = jax.vmap(
+          lambda i, b, c, k: det_autoaugment.distort_image_with_autoaugment(
+              i, b, c, k, aa_policy))(images, boxes, classes, keys)
+    if use_gridmask:
+      keys = jax.random.split(jax.random.fold_in(rng, 11), images.shape[0])
+      images = jax.vmap(lambda i, k: augment.gridmask(i, k))(images, keys)
+    keys = jax.random.split(rng, images.shape[0])
     imgs, boxes, classes = jax.vmap(
         lambda im, b, c, hw, k: preprocessing.det_train_preprocess(
             im, b, c, k, size[0], true_hw=hw,
             jitter_min=config.jitter_min, jitter_max=config.jitter_max,
             rand_hflip=config.input_rand_hflip,
             mean=config.mean_rgb, stddev=config.stddev_rgb))(
-                batch["image"].astype(jnp.float32), batch["gt_boxes"],
-                batch["gt_classes"], batch["true_hw"], keys)
+                images, boxes, classes, batch["true_hw"], keys)
     return {"image": imgs, "gt_boxes": boxes, "gt_classes": classes}
 
   step_fn = jax.jit(train_lib.make_det_train_step(

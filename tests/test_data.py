@@ -147,3 +147,39 @@ def test_mosaic():
   assert {0, 50, 100, 150} <= vals
   # boxes stay inside the canvas
   assert float(nb.min()) >= 0 and float(nb.max()) <= 32
+
+
+def test_det_autoaugment_image_box_consistency():
+  """Paint a bright blob exactly at the gt box; after any geometric op the
+  transformed box must still cover the blob's new location."""
+  from automl_tpu.data import det_autoaugment
+  h = w = 64
+  img = jnp.zeros((h, w, 3))
+  box = jnp.array([[20.0, 24.0, 36.0, 44.0]])
+  img = img.at[20:36, 24:44].set(255.0)
+  classes = jnp.array([1], jnp.int32)
+
+  for name in ("TranslateX_BBox", "TranslateY_BBox", "ShearX_BBox",
+               "ShearY_BBox", "Rotate_BBox"):
+    out, nb, nc = det_autoaugment._apply_op(
+        name, 6.0, img, box, classes, jax.random.key(3))
+    ys, xs, _ = np.nonzero(np.asarray(out) > 200)
+    if len(ys) == 0 or int(nc[0]) <= 0:
+      continue  # content moved fully out of frame: box invalidated is correct
+    b = np.asarray(nb[0])
+    assert ys.min() >= b[0] - 1.5 and ys.max() <= b[2] + 1.5, (name, b)
+    assert xs.min() >= b[1] - 1.5 and xs.max() <= b[3] + 1.5, (name, b)
+
+
+def test_det_autoaugment_policy_runs():
+  from automl_tpu.data import det_autoaugment
+  img = jax.random.uniform(jax.random.key(0), (64, 64, 3)) * 255
+  boxes = jnp.array([[10.0, 10.0, 30.0, 30.0], [0, 0, 0, 0]])
+  classes = jnp.array([2, -1], jnp.int32)
+  fn = jax.jit(lambda i, b, c, k: det_autoaugment.distort_image_with_autoaugment(
+      i, b, c, k))
+  for seed in range(4):
+    out, nb, nc = fn(img, boxes, classes, jax.random.key(seed))
+    assert out.shape == img.shape
+    assert bool(jnp.isfinite(out).all())
+    assert nb.shape == boxes.shape and nc.shape == classes.shape

@@ -178,3 +178,39 @@ def test_lm_trainer_loss_drops(tmp_path):
   logs = lm_trainer.run_lm(cfg, str(tmp_path / "lm"), train_steps=60,
                            log_every=60, learning_rate=5e-3)
   assert logs["loss"] < 3.9  # copy task: below ln(64)=4.16 uniform
+
+
+def test_int8_quantization_close_and_small():
+  cfg = tiny_cfg(use_remat=False, model_dim=64, head_dim=16, vocab_size=512)
+  model = lm_lib.TransformerLM(cfg)
+  params = model.init(jax.random.key(0))
+  qparams = lm_lib.quantize_lm_params(params, min_size=256)
+  tokens = jax.random.randint(jax.random.key(1), (2, 16), 0, 512)
+  full, _ = model(params, tokens)
+  quant, _ = model(qparams, tokens)
+  # int8 weights: outputs close, not exact
+  err = float(jnp.max(jnp.abs(full - quant)))
+  assert err < 0.5, err
+  # embedding actually stored int8
+  assert qparams["embed"]["qvalue"].dtype == jnp.int8
+  # agreement on next-token argmax for most positions
+  agree = float(jnp.mean(
+      (jnp.argmax(full, -1) == jnp.argmax(quant, -1)).astype(jnp.float32)))
+  assert agree > 0.9, agree
+
+
+def test_packed_lm_pipeline():
+  from automl_tpu.data import lm_pipeline
+  tok = lm_pipeline.ByteTokenizer()
+  assert tok.decode(tok.encode("hello")) == "hello"
+  docs = ["alpha beta", "gamma", "delta epsilon zeta" * 3]
+  loader = lm_pipeline.PackedLMLoader(docs, batch_size=2, seq_len=16,
+                                      repeat=True)
+  batch = next(iter(loader))
+  assert batch["tokens"].shape == (2, 17)
+  assert batch["segment_ids"].shape == (2, 17)
+  assert batch["loss_weights"].shape == (2, 17)
+  # multiple documents packed into one row somewhere
+  assert (batch["segment_ids"].max(axis=1) > 1).any()
+  # pad positions have zero loss weight
+  assert ((batch["tokens"] == 0) == (batch["loss_weights"] == 0)).all()

@@ -265,12 +265,16 @@ def load_tf_checkpoint(path: str) -> dict[str, np.ndarray]:
 def convert_effnet_checkpoint(ckpt, model: EfficientNet, params=None,
                               use_ema: bool = False,
                               scope: str | None = None,
-                              strict: bool = True):
+                              strict: bool = True,
+                              exclude_prefixes: tuple = ()):
   """TF checkpoint (path or {name: array}) -> our params pytree.
 
   use_ema: prefer '{name}/ExponentialMovingAverage' shadow values
   (ref: utils.get_ckpt_var_map init_ema, efficientnetv2/utils.py:457-519).
   params: optional template pytree to fill (defaults to model.init shapes).
+  exclude_prefixes: pytree path prefixes to leave at their current values —
+  e.g. (("head", "fc"),) for finetuning with a different class count
+  (ref: restore_tf2_ckpt exclude_layers, efficientnetv2/main_tf2.py:176-179).
   """
   if isinstance(ckpt, str):
     ckpt = load_tf_checkpoint(ckpt)
@@ -293,6 +297,8 @@ def convert_effnet_checkpoint(ckpt, model: EfficientNet, params=None,
 
   missing = []
   for tf_name, (path, transform) in var_map.items():
+    if any(path[:len(pre)] == tuple(pre) for pre in exclude_prefixes):
+      continue
     name = tf_name
     if use_ema and f"{tf_name}/ExponentialMovingAverage" in ckpt:
       name = f"{tf_name}/ExponentialMovingAverage"

@@ -18,6 +18,8 @@ def parse_args(argv=None):
   p.add_argument("--model_dir", required=True)
   p.add_argument("--hparam_str", default="")
   p.add_argument("--train_file_pattern", default=None)
+  p.add_argument("--ft_init_ckpt", default=None,
+                 help="published TF ckpt to finetune from (head reinit)")
   p.add_argument("--train_steps", type=int, default=0)
   p.add_argument("--mesh_shape", default=None)
   p.add_argument("--seed", type=int, default=0)
@@ -32,6 +34,8 @@ def main(argv=None):
 
   config = get_model_config(args.model_name)
   config.override(args.hparam_str)
+  if args.ft_init_ckpt:
+    config.train.ft_init_ckpt = args.ft_init_ckpt
   batch_size = int(config.train.batch_size)
   steps_per_epoch = 1281167 // batch_size  # ImageNet
   train_steps = args.train_steps or config.train.epochs * steps_per_epoch

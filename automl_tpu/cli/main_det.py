@@ -27,7 +27,12 @@ def parse_args(argv=None):
   p.add_argument("--num_examples_per_epoch", type=int, default=120000)
   p.add_argument("--eval_samples", type=int, default=5000)
   p.add_argument("--mesh_shape", default=None,
-                 help="e.g. 1,8,1 for (replica, data, model)")
+                 help="e.g. 1,8,1 for (replica, data, model); model>1 enables "
+                      "spatial partitioning of image H")
+  p.add_argument("--init_backbone_ckpt", default=None,
+                 help="published TF EfficientNet ckpt to warm-start backbone")
+  p.add_argument("--profile", action="store_true",
+                 help="capture an xprof trace of steps 10-14 into model_dir")
   p.add_argument("--seed", type=int, default=0)
   return p.parse_args(argv)
 
@@ -90,6 +95,7 @@ def main(argv=None):
   metrics = runners.run_detection(
       config, args.model_dir, train_steps, mesh_shape=mesh_shape,
       data_iter=train_iter, eval_iter=eval_iter, eval_steps=eval_steps,
+      init_backbone_ckpt=args.init_backbone_ckpt, profile=args.profile,
       seed=args.seed)
   print({k: round(v, 4) for k, v in metrics.items()})
   return metrics

@@ -25,15 +25,18 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
-def affine_warp(image, matrix, fill_value=128.0, method: str = "nearest"):
+def affine_warp(image, matrix, fill_value=128.0, method: str = "nearest",
+                out_hw=None):
   """Warp [H,W,C] image by the INVERSE-map 3x3 affine `matrix`.
 
   Output pixel (y, x) samples input at matrix @ (y, x, 1). Out-of-bounds
-  pixels take fill_value (the reference's gray 128 replace).
+  pixels take fill_value (the reference's gray 128 replace). `out_hw` sets
+  the output size (defaults to the input size).
   """
   h, w, _ = image.shape
-  yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-  xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+  oh, ow = out_hw if out_hw is not None else (h, w)
+  yy = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)
+  xx = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)
   ones = jnp.ones_like(xx)
   coords = jnp.stack([yy, xx, ones], axis=-1)          # [H, W, 3]
   src = jnp.einsum("ij,hwj->hwi", matrix.astype(jnp.float32), coords)

@@ -28,6 +28,26 @@ POLICY_V0 = [
     [("Rotate_BBox", 0.6, 10), ("Color", 1.0, 6)],
 ]
 
+# Subset of v1 (ref: aug/autoaugment.py:52-95) restricted to the ops this
+# device implementation supports; *_Only_BBoxes color ops approximate the
+# per-box host loop with a union-of-boxes mask.
+POLICY_V1 = [
+    [("TranslateX_BBox", 0.6, 4), ("Equalize", 0.8, 10)],
+    [("TranslateY_Only_BBoxes", 0.2, 2), ("Cutout", 0.8, 8)],
+    [("Sharpness", 0.0, 8), ("ShearX_BBox", 0.4, 0)],
+    [("ShearY_BBox", 1.0, 2), ("TranslateY_Only_BBoxes", 0.6, 6)],
+    [("Rotate_BBox", 0.6, 10), ("Color", 1.0, 6)],
+    [("Equalize", 0.6, 10), ("TranslateX_BBox", 0.2, 2)],
+    [("Color", 1.0, 10), ("TranslateY_Only_BBoxes", 0.4, 6)],
+    [("Rotate_BBox", 0.8, 10), ("Contrast", 0.0, 10)],
+    [("Cutout", 0.2, 2), ("Brightness", 0.8, 10)],
+    [("Color", 1.0, 6), ("Equalize", 1.0, 2)],
+    [("Color", 0.2, 8), ("Rotate_BBox", 0.8, 10)],
+    [("Sharpness", 0.4, 4), ("TranslateY_Only_BBoxes", 0.0, 4)],
+    [("Sharpness", 1.0, 4), ("SolarizeAdd", 0.4, 4)],
+    [("Rotate_BBox", 1.0, 8), ("Sharpness", 0.2, 8)],
+]
+
 
 def _transform_boxes_forward(boxes, classes, minv, out_hw):
   """Map (ymin,xmin,ymax,xmax) through the forward affine (= inv(minv))."""
@@ -120,7 +140,7 @@ def distort_image_with_autoaugment(image, boxes, classes, rng,
                                    policy_name: str = "v0"):
   """Apply one randomly-chosen sub-policy (image [H,W,C] in [0,255] float,
   boxes absolute, padded classes <= 0). Returns (image, boxes, classes)."""
-  policy = {"v0": POLICY_V0}[policy_name]
+  policy = {"v0": POLICY_V0, "v1": POLICY_V1}[policy_name]
   image = image.astype(jnp.float32)
   k_sel, rng = jax.random.split(rng)
   idx = jax.random.randint(k_sel, (), 0, len(policy))

@@ -60,29 +60,11 @@ def random_resized_crop(image, rng, out_size: int,
   return _warp_to(image, m, out_size)
 
 
-def _warp_to(image, matrix, out_size: int, method="bilinear"):
-  """affine_warp but with an output size different from the input."""
-  h, w, c = image.shape
-  yy = jax.lax.broadcasted_iota(jnp.float32, (out_size, out_size), 0)
-  xx = jax.lax.broadcasted_iota(jnp.float32, (out_size, out_size), 1)
-  ones = jnp.ones_like(xx)
-  coords = jnp.stack([yy, xx, ones], axis=-1)
-  src = jnp.einsum("ij,hwj->hwi", matrix.astype(jnp.float32), coords)
-  sy, sx = src[..., 0], src[..., 1]
-  y0 = jnp.floor(sy)
-  x0 = jnp.floor(sx)
-  wy = (sy - y0)[..., None]
-  wx = (sx - x0)[..., None]
-  y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-  x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-  y1i = jnp.clip(y0i + 1, 0, h - 1)
-  x1i = jnp.clip(x0i + 1, 0, w - 1)
-  img = image.astype(jnp.float32)
-  out = ((1 - wy) * (1 - wx) * img[y0i, x0i]
-         + (1 - wy) * wx * img[y0i, x1i]
-         + wy * (1 - wx) * img[y1i, x0i]
-         + wy * wx * img[y1i, x1i])
-  return out
+def _warp_to(image, matrix, out_size: int):
+  """Bilinear inverse-map affine warp to a square output (edge clamped)."""
+  out = augment.affine_warp(image.astype(jnp.float32), matrix, 0.0,
+                            method="bilinear", out_hw=(out_size, out_size))
+  return out.astype(jnp.float32)
 
 
 def random_hflip(image, rng):

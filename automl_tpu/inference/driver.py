@@ -145,6 +145,46 @@ class ServingDriver:
     return {"fps": fps, "latency_ms": latency * 1000.0, "batch_size":
             int(images.shape[0])}
 
+  def export_tflite(self, output_path: str, post_mode: str = "tflite"):
+    """Export to TFLite via jax2tf (ref contract: the reference's tflite path
+    exports network + box decode + scores, deferring NMS to the runtime's
+    custom op — tf2/postprocess.py:248-372).
+
+    post_mode 'tflite': outputs (boxes [B,N,4] decoded, scores [B,N] sigmoid,
+    classes [B,N]) pre-NMS; 'none': raw per-level outputs.
+    """
+    import numpy as np
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+    from automl_tpu.utils import parse_image_size
+    if post_mode not in ("tflite", "none"):
+      raise ValueError(f"post_mode must be 'tflite' or 'none', got {post_mode!r}")
+    size = parse_image_size(self.config.image_size)
+    config = self.config
+
+    def fn(images):
+      imgs = jax.vmap(
+          lambda im: preprocessing.det_eval_preprocess(
+              im, size[0], config.mean_rgb, config.stddev_rgb)[0])(
+                  images.astype(jnp.float32))
+      cls_out, box_out = self.model(self.params, imgs, train=False)
+      if post_mode == "none":
+        return tuple(cls_out) + tuple(box_out)
+      boxes, scores, classes = postprocess.pre_nms(config, cls_out, box_out)
+      return boxes, scores, classes.astype(jnp.int32)
+
+    tf_fn = tf.function(
+        jax2tf.convert(fn, enable_xla=False),
+        input_signature=[tf.TensorSpec((self.batch_size, *size, 3),
+                                       tf.float32)])
+    converter = tf.lite.TFLiteConverter.from_concrete_functions(
+        [tf_fn.get_concrete_function()])
+    tflite_model = converter.convert()
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    with open(output_path, "wb") as f:
+      f.write(tflite_model)
+    return output_path
+
   def export(self, output_dir: str):
     """Export the serving function as StableHLO (jax.export)."""
     from jax import export as jax_export

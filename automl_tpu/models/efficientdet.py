@@ -455,14 +455,14 @@ class EfficientDet(Module):
 
     feats = self.fpn_cells(params["fpn_cells"], feats, feat_hw, train)
     outputs = []
+    # Outputs stay in compute dtype (bf16): casting the dense per-level maps
+    # to f32 here materializes ~1.4 GB extra HBM traffic per D0 step; the
+    # loss/postprocess upcast per-element inside their fused kernels instead.
     if self.class_net is not None:
-      cls_outputs = self.class_net(params["class_net"], feats, train)
-      box_outputs = self.box_net(params["box_net"], feats, train)
-      outputs.append([policy.cast_to_output(c) for c in cls_outputs])
-      outputs.append([policy.cast_to_output(b) for b in box_outputs])
+      outputs.append(self.class_net(params["class_net"], feats, train))
+      outputs.append(self.box_net(params["box_net"], feats, train))
     if self.seg_head is not None:
-      outputs.append(policy.cast_to_output(
-          self.seg_head(params["segmentation_head"], feats, train)))
+      outputs.append(self.seg_head(params["segmentation_head"], feats, train))
     return tuple(outputs) if len(outputs) != 1 else outputs[0]
 
 

@@ -548,6 +548,39 @@ def lm_loss(logits, targets, loss_weights=None):
   return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def distill_loss(student_logits, teacher_logits, loss_weights=None,
+                 temperature: float = 1.0):
+  """KL(teacher || student) distillation (ref: hero/model_lib.py:1306-1330)."""
+  t = temperature
+  teacher = jax.nn.softmax(teacher_logits.astype(jnp.float32) / t)
+  logp = jax.nn.log_softmax(student_logits.astype(jnp.float32) / t)
+  per_tok = -jnp.sum(teacher * logp, axis=-1)
+  if loss_weights is None:
+    return jnp.mean(per_tok) * t * t
+  w = loss_weights.astype(jnp.float32)
+  return jnp.sum(per_tok * w) / jnp.maximum(jnp.sum(w), 1.0) * t * t
+
+
+def scaling_summary(cfg) -> dict:
+  """Params / FLOPs-per-token accounting (ref: hero/model_lib.py:2441-2472)."""
+  d, l, v = cfg.model_dim, cfg.n_layers, cfg.vocab_size
+  h = cfg.n_heads * cfg.head_dim
+  hkv = cfg.n_kv_heads * cfg.head_dim
+  ffn = cfg.expand_factor * d
+  attn_params = d * h * 2 + d * hkv * 2          # wq, wo, wk, wv
+  ffn_params = d * ffn * (3 if cfg.use_gated_ffn else 2)
+  block_params = attn_params + ffn_params + 2 * d
+  embed_params = v * d * (1 if cfg.tie_embeddings else 2)
+  total = l * block_params + embed_params + d
+  seq = cfg.seq_len
+  attn_flops = 2 * seq * h  # per token: qk + pv over seq (full causal ~ T/2*2)
+  flops_per_token = 6 * (total - embed_params + v * d) + 2 * l * attn_flops
+  return {"params": int(total), "embed_params": int(embed_params),
+          "non_embed_params": int(total - embed_params),
+          "flops_per_token_train": int(flops_per_token),
+          "chinchilla_tokens": int(20 * (total - embed_params))}
+
+
 def sample_logits(rng, logits, temperature=1.0, top_k: int = 0,
                   top_p: float = 0.0):
   """Sample next token ids from [B, V] logits (ref: hero/model_lib.py:2188-2227)."""

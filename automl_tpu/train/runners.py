@@ -64,6 +64,15 @@ def run_classification(config, model_dir: str, train_steps: int,
 
   model = build_model(config.model)
   params = jax.jit(model.init)(jax.random.key(seed))
+  ft_ckpt = config.train.get("ft_init_ckpt")
+  if ft_ckpt:
+    # finetune: restore everything except the classifier head
+    # (ref: efficientnetv2/main.py:296-305, main_tf2.py:176-179)
+    from automl_tpu.ckpt import tf_compat
+    params = tf_compat.convert_effnet_checkpoint(
+        ft_ckpt, model, params=params,
+        use_ema=bool(config.train.get("ft_init_ema", True)),
+        strict=False, exclude_prefixes=(("head", "fc"),))
 
   batch_size = int(config.train.batch_size)
   steps_per_epoch = max(train_steps // max(config.train.epochs, 1), 1)
@@ -140,8 +149,13 @@ def run_classification(config, model_dir: str, train_steps: int,
 def run_detection(config, model_dir: str, train_steps: int,
                   mesh_shape=None, data_iter=None, eval_iter=None,
                   eval_steps: int = 0, log_every: int = 50,
-                  seed: int = 0) -> dict:
-  """Train EfficientDet; optional COCO eval at the end. Returns metrics."""
+                  init_backbone_ckpt=None, init_backbone_ema: bool = True,
+                  profile: bool = False, seed: int = 0) -> dict:
+  """Train EfficientDet; optional COCO eval at the end. Returns metrics.
+
+  init_backbone_ckpt: published TF EfficientNet checkpoint to warm-start the
+  backbone from (ref: det_model_fn.py:518-548 ckpt_var_scope restore).
+  """
   from automl_tpu.models.efficientdet import EfficientDet
   os.makedirs(model_dir, exist_ok=True)
   config.save_to_yaml(os.path.join(model_dir, "config.yaml"))
@@ -149,6 +163,12 @@ def run_detection(config, model_dir: str, train_steps: int,
 
   model = EfficientDet(config)
   params = jax.jit(model.init)(jax.random.key(seed))
+  if init_backbone_ckpt:
+    from automl_tpu.ckpt import tf_compat
+    params = dict(params)
+    params["backbone"] = tf_compat.convert_effnet_checkpoint(
+        init_backbone_ckpt, model.backbone, params=params["backbone"],
+        use_ema=init_backbone_ema, scope=config.backbone_name, strict=False)
   batch_size = int(config.batch_size)
   steps_per_epoch = max(train_steps // max(config.num_epochs, 1), 1)
   lr_fn = schedules.detection_lr(config, steps_per_epoch)
@@ -160,6 +180,7 @@ def run_detection(config, model_dir: str, train_steps: int,
       params, tx, ema=bool(config.moving_average_decay))
 
   mesh = create_mesh(mesh_shape) if mesh_shape else None
+  spatial = bool(mesh) and mesh.shape.get("model", 1) > 1
   if mesh:
     state = replicate(mesh, state)
 
@@ -204,21 +225,45 @@ def run_detection(config, model_dir: str, train_steps: int,
                                   config.max_instances_per_image,
                                   config.num_classes))
   rng = jax.random.key(seed + 1)
+  from automl_tpu.train.metrics import MetricsWriter, StepTimer
+  writer = MetricsWriter(model_dir)
+  timer = StepTimer(log_every)
   metrics = {}
-  t0 = time.perf_counter()
   step = int(jax.device_get(state.step))
+  profile_ctx = None
   while step < train_steps:
     batch = next(it)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     if mesh:
       batch = shard_batch(mesh, batch)
-    state, metrics = step_fn(state, batch, rng)
+      if spatial:
+        # spatial partitioning: shard image H over the 'model' axis
+        # (GSPMD replaces TPUEstimator input_partition_dims,
+        #  ref: efficientdet/main.py:155-194)
+        from jax.sharding import NamedSharding, PartitionSpec
+        batch["image"] = jax.device_put(
+            batch["image"],
+            NamedSharding(mesh, PartitionSpec(("replica", "data"), "model")))
+    if profile and step == 10:
+      profile_ctx = jax.profiler.trace(os.path.join(model_dir, "profile"))
+      profile_ctx.__enter__()
+    with jax.profiler.StepTraceAnnotation("train", step_num=step):
+      state, metrics = step_fn(state, batch, rng)
+    if profile and step == 14 and profile_ctx is not None:
+      jax.block_until_ready(metrics["loss"])
+      profile_ctx.__exit__(None, None, None)
+      profile_ctx = None
     step += 1
+    rates = timer.tick(batch_size)
     if step % log_every == 0 or step == train_steps:
       m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-      rate = step * batch_size / (time.perf_counter() - t0)
+      if rates:
+        m.update(rates)
+      writer.write(step, m)
       print(f"step {step} loss {m['loss']:.4f} cls {m['cls_loss']:.4f} "
-            f"box {m['box_loss']:.5f} ({rate:.1f} img/s)")
+            f"box {m['box_loss']:.5f} "
+            f"({m.get('examples_per_sec', 0):.1f} img/s)")
+  writer.close()
   mngr.save(step, jax.device_get(state))
   mngr.wait_until_finished()
   out = {k: float(v) for k, v in jax.device_get(metrics).items()}

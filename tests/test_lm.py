@@ -214,3 +214,20 @@ def test_packed_lm_pipeline():
   assert (batch["segment_ids"].max(axis=1) > 1).any()
   # pad positions have zero loss weight
   assert ((batch["tokens"] == 0) == (batch["loss_weights"] == 0)).all()
+
+
+def test_distill_loss_and_scaling_summary():
+  logits = jax.random.normal(jax.random.key(0), (2, 4, 16))
+  self_d = lm_lib.distill_loss(logits, logits)
+  other = lm_lib.distill_loss(logits, jax.random.normal(jax.random.key(1),
+                                                        (2, 4, 16)))
+  assert float(other) > float(self_d)  # KL to self is the entropy floor
+  cfg = tiny_cfg()
+  s = lm_lib.scaling_summary(cfg)
+  assert s["params"] > 0 and s["non_embed_params"] < s["params"]
+  # matches actual init param count
+  model = lm_lib.TransformerLM(cfg)
+  import math
+  shapes = jax.eval_shape(model.init, jax.random.key(0))
+  actual = sum(math.prod(x.shape) for x in jax.tree_util.tree_leaves(shapes))
+  assert abs(actual - s["params"]) / actual < 0.02, (actual, s["params"])

@@ -20,7 +20,9 @@ def parse_args(argv=None):
   p = argparse.ArgumentParser(description=__doc__)
   p.add_argument("--runmode", default="dry",
                  choices=["dry", "infer", "bm", "benchmark", "export",
-                          "params_flops"])
+                          "params_flops", "video"])
+  p.add_argument("--input_video", default=None)
+  p.add_argument("--output_video", default=None)
   p.add_argument("--model_name", default="efficientdet-d0")
   p.add_argument("--ckpt_path", default=None)
   p.add_argument("--hparams", default="")
@@ -80,6 +82,32 @@ def main(argv=None):
     assert args.export_dir, "--export_dir required"
     out = driver.export(args.export_dir)
     print(json.dumps({"export_dir": out}))
+  elif args.runmode == "video":
+    # ref: model_inspect saved_model_video / tf2 inspector video mode
+    assert args.input_video and args.output_video
+    import cv2
+    import numpy as np
+    cap = cv2.VideoCapture(args.input_video)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 24
+    writer = None
+    frames = 0
+    while True:
+      ok, frame = cap.read()
+      if not ok:
+        break
+      rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+      dets = driver.serve(rgb[None])
+      annotated = driver.visualize(rgb, dets, 0)
+      if writer is None:
+        writer = cv2.VideoWriter(
+            args.output_video, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+            (annotated.shape[1], annotated.shape[0]))
+      writer.write(cv2.cvtColor(annotated, cv2.COLOR_RGB2BGR))
+      frames += 1
+    cap.release()
+    if writer:
+      writer.release()
+    print(json.dumps({"frames": frames, "output": args.output_video}))
 
 
 if __name__ == "__main__":

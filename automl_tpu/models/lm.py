@@ -212,6 +212,18 @@ class Attention(Module):
       new_cache = {"k": k, "v": v}
     else:
       new_cache = {"k": k, "v": v}
+      if cfg.get("use_window_chunk") and cfg.get("window_chunk_size"):
+        # blockwise 2-chunk local attention (train/prefill full-sequence path)
+        kk, vv = k, v
+        if self.n_kv != self.n_heads:
+          rep = self.n_heads // self.n_kv
+          kk = jnp.repeat(kk, rep, axis=2)
+          vv = jnp.repeat(vv, rep, axis=2)
+        out = chunked_local_attn(q, kk, vv, positions,
+                                 int(cfg.window_chunk_size),
+                                 cfg.attn_logit_cap or 0.0)
+        out = jnp.einsum("bqnh,dnh->bqd", out.astype(adt), wo)
+        return _constrain(out, sh.activation), new_cache
       if cfg.get("use_flash_attention"):
         # Pallas flash kernel: full-sequence causal(+window) path
         # (training / prefill-without-cache; decode keeps the einsum path).

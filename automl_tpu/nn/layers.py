@@ -259,16 +259,24 @@ class BatchNorm(nn.Module):
     mean = jnp.mean(x, axes)
     mean_sq = jnp.mean(jnp.square(x), axes)
     if self.axis_name is not None:
-      kw = {}
       if self.group_size is not None:
-        n = jax.lax.axis_size(self.axis_name)
-        groups = max(n // self.group_size, 1)
-        kw["axis_index_groups"] = [
-            list(range(g * self.group_size, (g + 1) * self.group_size))
-            for g in range(groups)
-        ]
-      mean = jax.lax.pmean(mean, self.axis_name, **kw)
-      mean_sq = jax.lax.pmean(mean_sq, self.axis_name, **kw)
+        # Grouped moments via all-gather + per-group slice (axis_index_groups
+        # is not supported under shard_map in current JAX); gathered tensor is
+        # [n_devices, C] — trivial ICI traffic.
+        idx = jax.lax.axis_index(self.axis_name)
+        group_start = (idx // self.group_size) * self.group_size
+
+        def group_mean(v):
+          gathered = jax.lax.all_gather(v, self.axis_name)
+          sliced = jax.lax.dynamic_slice_in_dim(
+              gathered, group_start, self.group_size, 0)
+          return jnp.mean(sliced, axis=0)
+
+        mean = group_mean(mean)
+        mean_sq = group_mean(mean_sq)
+      else:
+        mean = jax.lax.pmean(mean, self.axis_name)
+        mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
     var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
     return mean, var
 

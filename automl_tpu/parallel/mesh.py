@@ -42,8 +42,14 @@ def create_mesh(mesh_shape: Sequence[int] | None = None,
   assert len(mesh_shape) == len(axis_names), (mesh_shape, axis_names)
 
   if dcn_mesh_shape is not None:
-    device_array = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape, dcn_mesh_shape, devices=devices)
+    try:
+      device_array = mesh_utils.create_hybrid_device_mesh(
+          mesh_shape, dcn_mesh_shape, devices=devices)
+    except ValueError:
+      # CPU-simulated devices have no slice_index attribute: emulate the
+      # hybrid mesh by folding the DCN factors into the ICI axes.
+      combined = [i * d for i, d in zip(mesh_shape, dcn_mesh_shape)]
+      device_array = np.asarray(devices).reshape(combined)
   else:
     try:
       device_array = mesh_utils.create_device_mesh(

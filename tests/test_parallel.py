@@ -1,0 +1,68 @@
+"""Mesh / sharding tests: hybrid ICI x DCN mesh, grouped cross-replica BN
+via shard_map (TpuBatchNormalization semantics, efficientdet/utils.py:56-75)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from automl_tpu import nn
+from automl_tpu.nn import layers as L
+from automl_tpu.parallel import create_mesh, mesh_sharding, shard_batch
+
+
+def test_hybrid_ici_dcn_mesh():
+  # 8 devices = 2 DCN slices x 4-device ICI mesh (data=2, model=2)
+  mesh = create_mesh((1, 2, 2), dcn_mesh_shape=(1, 2, 1))
+  assert dict(mesh.shape) == {"replica": 1, "data": 4, "model": 2}
+  x = jnp.arange(8.0).reshape(8, 1)
+  sharded = jax.device_put(x, mesh_sharding(mesh, P(("replica", "data"))))
+  # sharded over replica*data=4, replicated over model=2 -> all 8 devices
+  assert len(sharded.sharding.device_set) == 8
+  assert sharded.addressable_shards[0].data.shape == (2, 1)  # 8/4 rows each
+
+
+def test_shard_batch_and_global_mean():
+  mesh = create_mesh((1, 8, 1))
+  batch = {"x": np.arange(16.0).reshape(16, 1)}
+  sharded = shard_batch(mesh, batch)
+
+  @jax.jit
+  def mean(b):
+    return jnp.mean(b["x"])
+
+  np.testing.assert_allclose(float(mean(sharded)), 7.5)
+
+
+def test_grouped_cross_replica_bn():
+  """BN with axis_name + group_size=2 under shard_map: moments averaged
+  within groups of 2 devices, not globally."""
+  from jax.experimental.shard_map import shard_map
+  nn.set_policy("float32")
+  try:
+    mesh = create_mesh((1, 8, 1))
+    bn = L.BatchNorm(2, axis_name="data", group_size=2, name="bn")
+    params = bn.init(None)
+    # per-device constant values 0..7: groups (0,1), (2,3), ...
+    x = jnp.repeat(jnp.arange(8.0)[:, None, None, None], 2, axis=3)
+    x = jnp.broadcast_to(x, (8, 4, 4, 2))
+
+    def fn(params, x):
+      out, stats = nn.run_and_collect_state(lambda: bn(params, x, train=True))
+      return out
+
+    out = shard_map(fn, mesh=mesh,
+                    in_specs=(P(), P(("replica", "data"))),
+                    out_specs=P(("replica", "data")))(params, x)
+    out = np.asarray(out)
+    # within a group, mean = (v0 + v1)/2; normalized values are +-1 * gamma/std
+    # device 0 (value 0) and device 1 (value 1): group mean 0.5, var 0.25
+    np.testing.assert_allclose(out[0, 0, 0, 0], (0 - 0.5) / np.sqrt(0.25 + 1e-3),
+                               rtol=1e-4)
+    np.testing.assert_allclose(out[1, 0, 0, 0], (1 - 0.5) / np.sqrt(0.25 + 1e-3),
+                               rtol=1e-4)
+    # device 2 belongs to the next group (values 2, 3): mean 2.5
+    np.testing.assert_allclose(out[2, 0, 0, 0], (2 - 2.5) / np.sqrt(0.25 + 1e-3),
+                               rtol=1e-4)
+  finally:
+    nn.set_policy("mixed_bfloat16")

@@ -119,9 +119,22 @@ def _apply_op(name: str, level: float, image, boxes, classes, rng):
     return jnp.where(mask, shifted, image), boxes, classes
   if name == "Equalize":
     return augment.equalize(image), boxes, classes
+  if name == "AutoContrast":
+    return augment.autocontrast(image), boxes, classes
+  if name == "Solarize":
+    return augment.solarize(image, 256.0 - level / _MAX_LEVEL * 256.0), boxes, classes
+  if name == "Posterize":
+    bits = jnp.maximum(jnp.round(level / _MAX_LEVEL * 4.0), 1).astype(jnp.int32)
+    return augment.posterize(image, bits), boxes, classes
   if name == "Cutout":
     pad = int(level / _MAX_LEVEL * 100.0)
     return augment.cutout(image, rng, pad), boxes, classes
+  if name == "BBox_Cutout":
+    # cutout restricted to the union of gt boxes (ref bbox_cutout semantics)
+    pad = int(level / _MAX_LEVEL * 50.0)
+    cut = augment.cutout(image, rng, pad)
+    mask = _boxes_mask(image, boxes, classes)
+    return jnp.where(mask, cut, image), boxes, classes
   if name == "SolarizeAdd":
     return augment.solarize_add(image, level / _MAX_LEVEL * 110.0), boxes, classes
   factor = level / _MAX_LEVEL * 1.8 + 0.1
@@ -136,11 +149,50 @@ def _apply_op(name: str, level: float, image, boxes, classes, rng):
   raise ValueError(f"Unknown det-autoaugment op {name!r}")
 
 
+# v2/v3 (ref: aug/autoaugment.py:96-148).
+POLICY_V2 = [
+    [("Color", 0.0, 6), ("Cutout", 0.6, 8), ("Sharpness", 0.4, 8)],
+    [("Rotate_BBox", 0.4, 8), ("Sharpness", 0.4, 2), ("Rotate_BBox", 0.8, 10)],
+    [("TranslateY_BBox", 1.0, 8), ("AutoContrast", 0.8, 2)],
+    [("AutoContrast", 0.4, 6), ("ShearX_BBox", 0.8, 8), ("Brightness", 0.0, 10)],
+    [("SolarizeAdd", 0.2, 6), ("Contrast", 0.0, 10), ("AutoContrast", 0.6, 0)],
+    [("Cutout", 0.2, 0), ("Solarize", 0.8, 8), ("Color", 1.0, 4)],
+    [("TranslateY_BBox", 0.0, 4), ("Equalize", 0.6, 8), ("Solarize", 0.0, 10)],
+    [("TranslateY_BBox", 0.2, 2), ("ShearY_BBox", 0.8, 8), ("Rotate_BBox", 0.8, 8)],
+    [("Cutout", 0.8, 8), ("Brightness", 0.8, 8), ("Cutout", 0.2, 2)],
+    [("Color", 0.8, 4), ("TranslateY_BBox", 1.0, 6), ("Rotate_BBox", 0.6, 6)],
+    [("Rotate_BBox", 0.6, 10), ("BBox_Cutout", 1.0, 4), ("Cutout", 0.2, 8)],
+    [("Rotate_BBox", 0.0, 0), ("Equalize", 0.6, 6), ("ShearY_BBox", 0.6, 8)],
+    [("Brightness", 0.8, 8), ("AutoContrast", 0.4, 2), ("Brightness", 0.2, 2)],
+    [("TranslateY_BBox", 0.4, 8), ("Solarize", 0.4, 6), ("SolarizeAdd", 0.2, 10)],
+    [("Contrast", 1.0, 10), ("SolarizeAdd", 0.2, 8), ("Equalize", 0.2, 4)],
+]
+
+POLICY_V3 = [
+    [("Posterize", 0.8, 2), ("TranslateX_BBox", 1.0, 8)],
+    [("BBox_Cutout", 0.2, 10), ("Sharpness", 1.0, 8)],
+    [("Rotate_BBox", 0.6, 8), ("Rotate_BBox", 0.8, 10)],
+    [("Equalize", 0.8, 10), ("AutoContrast", 0.2, 10)],
+    [("SolarizeAdd", 0.2, 2), ("TranslateY_BBox", 0.2, 8)],
+    [("Sharpness", 0.0, 2), ("Color", 0.4, 8)],
+    [("Equalize", 1.0, 8), ("TranslateY_BBox", 1.0, 8)],
+    [("Posterize", 0.6, 2), ("Rotate_BBox", 0.0, 10)],
+    [("AutoContrast", 0.6, 0), ("Rotate_BBox", 1.0, 6)],
+    [("Equalize", 0.0, 4), ("Cutout", 0.8, 10)],
+    [("Brightness", 1.0, 2), ("TranslateY_BBox", 1.0, 6)],
+    [("Contrast", 0.0, 2), ("ShearY_BBox", 0.8, 0)],
+    [("AutoContrast", 0.8, 10), ("Contrast", 0.2, 10)],
+    [("Rotate_BBox", 1.0, 10), ("Cutout", 1.0, 10)],
+    [("SolarizeAdd", 0.8, 6), ("Equalize", 0.8, 8)],
+]
+
+
 def distort_image_with_autoaugment(image, boxes, classes, rng,
                                    policy_name: str = "v0"):
   """Apply one randomly-chosen sub-policy (image [H,W,C] in [0,255] float,
   boxes absolute, padded classes <= 0). Returns (image, boxes, classes)."""
-  policy = {"v0": POLICY_V0, "v1": POLICY_V1}[policy_name]
+  policy = {"v0": POLICY_V0, "v1": POLICY_V1, "v2": POLICY_V2,
+            "v3": POLICY_V3}[policy_name]
   image = image.astype(jnp.float32)
   k_sel, rng = jax.random.split(rng)
   idx = jax.random.randint(k_sel, (), 0, len(policy))

@@ -176,10 +176,11 @@ def test_det_autoaugment_policy_runs():
   img = jax.random.uniform(jax.random.key(0), (64, 64, 3)) * 255
   boxes = jnp.array([[10.0, 10.0, 30.0, 30.0], [0, 0, 0, 0]])
   classes = jnp.array([2, -1], jnp.int32)
-  fn = jax.jit(lambda i, b, c, k: det_autoaugment.distort_image_with_autoaugment(
-      i, b, c, k))
-  for seed in range(4):
-    out, nb, nc = fn(img, boxes, classes, jax.random.key(seed))
-    assert out.shape == img.shape
-    assert bool(jnp.isfinite(out).all())
-    assert nb.shape == boxes.shape and nc.shape == classes.shape
+  for policy in ("v0", "v1", "v2", "v3"):
+    fn = jax.jit(lambda i, b, c, k, p=policy:
+                 det_autoaugment.distort_image_with_autoaugment(i, b, c, k, p))
+    for seed in range(2):
+      out, nb, nc = fn(img, boxes, classes, jax.random.key(seed))
+      assert out.shape == img.shape, policy
+      assert bool(jnp.isfinite(out).all()), policy
+      assert nb.shape == boxes.shape and nc.shape == classes.shape

@@ -145,13 +145,17 @@ class ServingDriver:
     return {"fps": fps, "latency_ms": latency * 1000.0, "batch_size":
             int(images.shape[0])}
 
-  def export_tflite(self, output_path: str, post_mode: str = "tflite"):
+  def export_tflite(self, output_path: str, post_mode: str = "tflite",
+                    int8_calibration_images=None):
     """Export to TFLite via jax2tf (ref contract: the reference's tflite path
     exports network + box decode + scores, deferring NMS to the runtime's
     custom op — tf2/postprocess.py:248-372).
 
     post_mode 'tflite': outputs (boxes [B,N,4] decoded, scores [B,N] sigmoid,
     classes [B,N]) pre-NMS; 'none': raw per-level outputs.
+    int8_calibration_images: optional iterable of [B,H,W,3] float batches ->
+    full INT8 post-training quantization (ref: KerasDriver INT8 calib via
+    file_pattern, tf2/infer_lib.py:383+).
     """
     import numpy as np
     import tensorflow as tf
@@ -179,6 +183,12 @@ class ServingDriver:
                                        tf.float32)])
     converter = tf.lite.TFLiteConverter.from_concrete_functions(
         [tf_fn.get_concrete_function()])
+    if int8_calibration_images is not None:
+      def rep_dataset():
+        for images in int8_calibration_images:
+          yield [np.asarray(images, np.float32)]
+      converter.optimizations = [tf.lite.Optimize.DEFAULT]
+      converter.representative_dataset = rep_dataset
     tflite_model = converter.convert()
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     with open(output_path, "wb") as f:

@@ -22,8 +22,6 @@ Everything else maps 1:1 (NHWC/HWIO both sides).
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -19,8 +19,7 @@ the reference consumes); nothing TF touches device memory.
 
 from __future__ import annotations
 
-import math
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

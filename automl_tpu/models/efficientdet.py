@@ -21,7 +21,6 @@ TPU-native notes:
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

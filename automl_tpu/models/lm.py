@@ -22,7 +22,6 @@ so the same model code runs single-chip or on any mesh.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Optional
 
 import jax

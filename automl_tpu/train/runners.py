@@ -16,10 +16,8 @@ anchor labeling, losses, optimizer, EMA, metrics.
 
 from __future__ import annotations
 
-import json
 import os
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,6 +26,8 @@ def parse_args(argv=None):
                  help="0 -> num_epochs * num_examples_per_epoch / batch_size")
   p.add_argument("--num_examples_per_epoch", type=int, default=120000)
   p.add_argument("--eval_samples", type=int, default=5000)
+  p.add_argument("--eval_every", type=int, default=0,
+                 help="steps between in-training evals (train_and_eval)")
   p.add_argument("--mesh_shape", default=None,
                  help="e.g. 1,8,1 for (replica, data, model); model>1 enables "
                       "spatial partitioning of image H")
@@ -63,10 +65,14 @@ def main(argv=None):
 
   eval_iter = None
   eval_steps = 0
+  eval_every = args.eval_every
+  if args.mode == "train_and_eval" and not eval_every:
+    eval_every = max(args.num_examples_per_epoch // batch_size, 1)
   if args.mode in ("eval", "train_and_eval") and args.val_file_pattern:
-    eval_iter = iter(pipeline.DetectionTFRecordLoader(
-        args.val_file_pattern, is_training=False, batch_size=batch_size,
-        canvas_size=size[0], max_instances=config.max_instances_per_image))
+    def eval_iter():  # fresh iterator per eval pass
+      return iter(pipeline.DetectionTFRecordLoader(
+          args.val_file_pattern, is_training=False, batch_size=batch_size,
+          canvas_size=size[0], max_instances=config.max_instances_per_image))
     eval_steps = max(args.eval_samples // batch_size, 1)
 
   if args.mode == "eval":
@@ -88,13 +94,15 @@ def main(argv=None):
     if state is None:
       raise FileNotFoundError(f"no checkpoint in {args.model_dir}/ckpt")
     metrics = runners.evaluate_detection(
-        model, state.ema_params or state.params, config, eval_iter, eval_steps)
+        model, state.ema_params or state.params, config, eval_iter(),
+        eval_steps)
     print({k: round(v, 4) for k, v in metrics.items()})
     return metrics
 
   metrics = runners.run_detection(
       config, args.model_dir, train_steps, mesh_shape=mesh_shape,
       data_iter=train_iter, eval_iter=eval_iter, eval_steps=eval_steps,
+      eval_every=eval_every if args.mode == "train_and_eval" else 0,
       init_backbone_ckpt=args.init_backbone_ckpt, profile=args.profile,
       seed=args.seed)
   print({k: round(v, 4) for k, v in metrics.items()})

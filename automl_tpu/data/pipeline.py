@@ -219,3 +219,58 @@ class DetectionTFRecordLoader:
     ds = ds.batch(c["batch_size"], drop_remainder=c["is_training"])
     ds = ds.prefetch(tf.data.AUTOTUNE)
     return iter(ds.as_numpy_iterator())
+
+
+# ---------------------------------------------------------------------------
+# Device prefetcher: double-buffered host->device staging so infeed overlaps
+# the running step (north star: infeed never stalls the MXU; replaces
+# TPUEstimator's infeed queue).
+# ---------------------------------------------------------------------------
+
+
+class DevicePrefetcher:
+  """Wrap a host batch iterator; stage batches to device on a background
+  thread with a small buffer.
+
+  sharding: optional jax.sharding.Sharding (or pytree of shardings) applied
+  via device_put; defaults to the default device.
+  """
+
+  def __init__(self, host_iter, sharding=None, buffer_size: int = 2):
+    import queue
+    import threading
+    self._q = queue.Queue(maxsize=buffer_size)
+    self._stop = threading.Event()
+
+    def stage():
+      import jax
+      try:
+        for batch in host_iter:
+          if self._stop.is_set():
+            return
+          if sharding is not None:
+            staged = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), batch)
+          else:
+            staged = jax.tree_util.tree_map(jax.device_put, batch)
+          self._q.put(staged)
+      finally:
+        self._q.put(None)  # sentinel: exhausted
+
+    self._thread = threading.Thread(target=stage, daemon=True)
+    self._thread.start()
+
+  def __iter__(self):
+    while True:
+      item = self._q.get()
+      if item is None:
+        return
+      yield item
+
+  def close(self):
+    self._stop.set()
+    try:
+      while True:
+        self._q.get_nowait()
+    except Exception:
+      pass

@@ -146,13 +146,16 @@ def run_classification(config, model_dir: str, train_steps: int,
 
 def run_detection(config, model_dir: str, train_steps: int,
                   mesh_shape=None, data_iter=None, eval_iter=None,
-                  eval_steps: int = 0, log_every: int = 50,
+                  eval_steps: int = 0, eval_every: int = 0,
+                  log_every: int = 50,
                   init_backbone_ckpt=None, init_backbone_ema: bool = True,
                   profile: bool = False, seed: int = 0) -> dict:
   """Train EfficientDet; optional COCO eval at the end. Returns metrics.
 
   init_backbone_ckpt: published TF EfficientNet checkpoint to warm-start the
   backbone from (ref: det_model_fn.py:518-548 ckpt_var_scope restore).
+  eval_iter: an iterator (single final eval) or a zero-arg factory returning
+  a fresh iterator (required for eval_every in-training evals).
   """
   from automl_tpu.models.efficientdet import EfficientDet
   os.makedirs(model_dir, exist_ok=True)
@@ -261,14 +264,28 @@ def run_detection(config, model_dir: str, train_steps: int,
       print(f"step {step} loss {m['loss']:.4f} cls {m['cls_loss']:.4f} "
             f"box {m['box_loss']:.5f} "
             f"({m.get('examples_per_sec', 0):.1f} img/s)")
+    # per-epoch eval + best-ckpt archive (ref: main.py train_and_eval loop,
+    # utils.archive_ckpt)
+    if (eval_every and eval_iter is not None and eval_steps
+        and (step % eval_every == 0 or step == train_steps)):
+      mngr.save(step, jax.device_get(state))
+      eval_params = state.ema_params or state.params
+      fresh = eval_iter() if callable(eval_iter) else eval_iter
+      em = evaluate_detection(model, eval_params, config, fresh, eval_steps)
+      writer.write(step, {f"eval/{k}": v for k, v in em.items()})
+      print(f"eval @ {step}: AP {em.get('AP', -1):.4f} "
+            f"AP50 {em.get('AP50', -1):.4f}")
+      if em.get("AP", -1) >= 0:
+        archive_ckpt(model_dir, step, em["AP"], mngr)
   writer.close()
   mngr.save(step, jax.device_get(state))
   mngr.wait_until_finished()
   out = {k: float(v) for k, v in jax.device_get(metrics).items()}
 
-  if eval_iter is not None and eval_steps:
-    out.update(evaluate_detection(model, state.params, config, eval_iter,
-                                  eval_steps))
+  if eval_iter is not None and eval_steps and not eval_every:
+    fresh = eval_iter() if callable(eval_iter) else eval_iter
+    out.update(evaluate_detection(
+        model, state.ema_params or state.params, config, fresh, eval_steps))
     ap = out.get("AP", -1)
     if ap >= 0:
       archive_ckpt(model_dir, step, ap, mngr)

@@ -184,3 +184,26 @@ def test_det_autoaugment_policy_runs():
       assert out.shape == img.shape, policy
       assert bool(jnp.isfinite(out).all()), policy
       assert nb.shape == boxes.shape and nc.shape == classes.shape
+
+
+def test_device_prefetcher():
+  import time
+  from automl_tpu.data.pipeline import DevicePrefetcher
+
+  def host_iter():
+    for i in range(5):
+      yield {"x": np.full((2, 2), i, np.float32)}
+
+  pf = DevicePrefetcher(host_iter(), buffer_size=2)
+  got = [int(b["x"][0, 0]) for b in pf]
+  assert got == list(range(5))
+  # with a sharding: batches land sharded
+  from automl_tpu.parallel import create_mesh, mesh_sharding
+  from jax.sharding import PartitionSpec as P
+  mesh = create_mesh((1, 8, 1))
+  sh = mesh_sharding(mesh, P(("replica", "data")))
+  pf2 = DevicePrefetcher(
+      ({"x": np.arange(16.0).reshape(16, 1)} for _ in range(2)), sharding=sh)
+  batches = list(pf2)
+  assert len(batches) == 2
+  assert len(batches[0]["x"].sharding.device_set) == 8

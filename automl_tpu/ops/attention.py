@@ -9,7 +9,9 @@ reference's attention logit soft-cap (50.0) fused in.
 Design (per pallas_guide.md):
   * grid (batch*heads, q_blocks, k_blocks), k innermost; VMEM scratch carries
     the running (max, sum, accumulator) across k blocks; output written at the
-    last k block.
+    last k block. Default 512x512 blocks: measured 2.3x faster than XLA's
+    fused dense attention at T=2048 on-device (128x128 was 2x slower —
+    block size dominates; see PERF_NOTES.md).
   * fully-masked k blocks are skipped at trace time for causal/window cases
     (compile-time grid pruning via index re-mapping would go further; the
     @pl.when guard keeps the kernel simple and still skips the FLOPs).
@@ -238,7 +240,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 def flash_attention(q, k, v, *, causal: bool = True, window: int | None = None,
                     logit_cap: float = 0.0, sm_scale: float | None = None,
-                    block_q: int = 128, block_k: int = 128,
+                    block_q: int = 512, block_k: int = 512,
                     interpret: bool | None = None):
   """Multi-head flash attention.
 

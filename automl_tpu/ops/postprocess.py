@@ -26,6 +26,13 @@ from automl_tpu.ops import nms as nms_lib
 
 CLASS_OFFSET = 1  # outputs are 1-based classes (ref: postprocess.py:51)
 
+# Pre-NMS candidate cap for the per-anchor-max path. The reference feeds ALL
+# ~50k anchors to the C++ NMS kernel; our fixed-iteration device NMS scans the
+# candidate set every round, so capping to the top-K scores first cuts D0
+# postprocess from 114 ms to ~10 ms at b32 (device-busy) with identical
+# outputs in practice (NMS keeps <= 100 by score anyway).
+PRE_NMS_CANDIDATES = 2048
+
 
 def nms_params(config) -> dict:
   """Resolve method-dependent NMS defaults (ref: postprocess.py:178-189)."""
@@ -75,7 +82,14 @@ def topk_class_boxes(config, cls_outputs, box_outputs):
   classes = jnp.argmax(cls_outputs, axis=-1).astype(jnp.int32)
   scores = jnp.max(cls_outputs, axis=-1)
   num_anchors = cls_outputs.shape[1]
-  indices = jnp.broadcast_to(jnp.arange(num_anchors)[None], (batch, num_anchors))
+  k = min(PRE_NMS_CANDIDATES, num_anchors)
+  if k < num_anchors:
+    scores, indices = jax.lax.top_k(scores, k)
+    classes = jnp.take_along_axis(classes, indices, axis=1)
+    box_outputs = jnp.take_along_axis(box_outputs, indices[..., None], axis=1)
+  else:
+    indices = jnp.broadcast_to(jnp.arange(num_anchors)[None],
+                               (batch, num_anchors))
   return scores, box_outputs, classes, indices
 
 
@@ -139,11 +153,12 @@ def postprocess_global(config, cls_outputs, box_outputs, image_scales=None):
 
 def postprocess_per_class(config, cls_outputs, box_outputs, image_scales=None):
   """Per-class NMS (suppression only within a class) — device-side equivalent
-  of the reference's host numpy per_class_nms (nms_np.py:220-264)."""
-  cfg_max_inputs = config.nms_configs.get("max_nms_inputs", 0)
-  if not cfg_max_inputs:
-    # Per-class semantics want (anchor, class) pairs; default to top-5000.
-    config = _with_max_nms_inputs(config, anchors_lib.MAX_DETECTION_POINTS)
+  of the reference's host numpy per_class_nms (nms_np.py:220-264).
+
+  Default path: per-anchor best class + class-offset NMS (one class per
+  anchor — fast). Set nms_configs.max_nms_inputs > 0 for exact (anchor,
+  class)-pair candidates via a flattened top-k (slower: the top-k runs over
+  num_anchors * num_classes scores)."""
   boxes, scores, classes = pre_nms(config, cls_outputs, box_outputs)
   p = nms_params(config)
   out = jax.vmap(functools.partial(_nms_one, p=p, per_class=True))(
@@ -162,13 +177,6 @@ def postprocess_combined(config, cls_outputs, box_outputs, image_scales=None):
   cfg.nms_configs.method = "hard"
   cfg.nms_configs.sigma = 0.0
   return postprocess_per_class(cfg, cls_outputs, box_outputs, image_scales)
-
-
-def _with_max_nms_inputs(config, n):
-  import copy
-  cfg = copy.deepcopy(config)
-  cfg.nms_configs.max_nms_inputs = n
-  return cfg
 
 
 def generate_detections(config, cls_outputs, box_outputs, image_scales,

@@ -183,9 +183,12 @@ class Attention(Module):
                * jax.random.normal(k4, (d, self.n_heads, hd))).astype(dt),
     }
 
-  def apply(self, params, x, positions, mask, cache=None, cache_index=None):
+  def apply(self, params, x, positions, mask, cache=None, cache_index=None,
+            segment_ids=None):
     """x: [B, T, D]. cache: optional dict(k, v: [B, S, n_kv, hd]).
 
+    segment_ids: optional [B, T] — packed-document boundaries; honoured by
+    every path (dense mask, flash kernel, chunked local attention).
     Returns (out, new_cache)."""
     cfg, sh = self.cfg, self.sh
     adt = jnp.dtype(cfg.activation_dtype)
@@ -220,7 +223,8 @@ class Attention(Module):
           vv = jnp.repeat(vv, rep, axis=2)
         out = chunked_local_attn(q, kk, vv, positions,
                                  int(cfg.window_chunk_size),
-                                 cfg.attn_logit_cap or 0.0)
+                                 cfg.attn_logit_cap or 0.0,
+                                 segment_ids=segment_ids)
         out = jnp.einsum("bqnh,dnh->bqd", out.astype(adt), wo)
         return _constrain(out, sh.activation), new_cache
       if cfg.get("use_flash_attention"):
@@ -229,7 +233,8 @@ class Attention(Module):
         from automl_tpu.ops.attention import flash_attention
         out = flash_attention(
             q, k, v, causal=True, window=cfg.window_size,
-            logit_cap=cfg.attn_logit_cap or 0.0, sm_scale=1.0)
+            logit_cap=cfg.attn_logit_cap or 0.0, sm_scale=1.0,
+            segment_ids=segment_ids)
         out = jnp.einsum("bqnh,dnh->bqd", out.astype(adt), wo)
         return _constrain(out, sh.activation), new_cache
 
@@ -253,12 +258,14 @@ class Attention(Module):
 
 
 def chunked_local_attn(q, k, v, positions, window_chunk_size: int,
-                       attn_logit_cap: float = ATTN_LOGIT_CAP):
+                       attn_logit_cap: float = ATTN_LOGIT_CAP,
+                       segment_ids=None):
   """Blockwise local attention: chunk i attends to chunks {i-1, i} with a
   causal mask inside — O(T * 2c) instead of O(T^2)
   (ref semantics: hero/model_lib.py:464-534).
 
-  q, k, v: [B, T, N, H] with T % chunk == 0. Returns [B, T, N, H].
+  q, k, v: [B, T, N, H] with T % chunk == 0. segment_ids: optional [B, T]
+  packed-document ids (no cross-document attention). Returns [B, T, N, H].
   """
   b, t, n, h = q.shape
   c = window_chunk_size
@@ -285,7 +292,14 @@ def chunked_local_attn(q, k, v, positions, window_chunk_size: int,
   first_chunk_valid = kj >= c  # chunk 0 has no previous chunk
   chunk_ids = jax.lax.broadcasted_iota(jnp.int32, (nc, 1, 1), 0)
   mask = jnp.where(chunk_ids == 0, base & first_chunk_valid, base)
-  logits = jnp.where(mask[None, :, None, :, :], logits, -1e9)
+  mask = jnp.broadcast_to(mask[None], (b, nc, c, 2 * c))
+  if segment_ids is not None:
+    seg_c = segment_ids.reshape(b, nc, c)
+    seg_prev = jnp.pad(seg_c, ((0, 0), (1, 0), (0, 0)),
+                       constant_values=-1)[:, :-1]
+    seg_k = jnp.concatenate([seg_prev, seg_c], axis=2)  # [B, nc, 2c]
+    mask = mask & (seg_c[..., :, None] == seg_k[..., None, :])
+  logits = jnp.where(mask[:, :, None, :, :], logits, -1e9)
   probs = jax.nn.softmax(logits, axis=-1).astype(v2.dtype)
   out = jnp.einsum("bgnqk,bgknh->bgqnh", probs, v2)
   return out.reshape(b, t, n, h)
@@ -372,10 +386,12 @@ class TransformerBlock(Module):
       children += [self.post_attn_norm, self.post_ffn_norm]
     return self.init_child(key, children)
 
-  def apply(self, params, x, positions, mask, cache=None, cache_index=None):
+  def apply(self, params, x, positions, mask, cache=None, cache_index=None,
+            segment_ids=None):
     h = self.pre_attn_norm(params["pre_attn_norm"], x)
     attn_out, new_cache = self.attn(params["attn"], h, positions, mask,
-                                    cache, cache_index)
+                                    cache, cache_index,
+                                    segment_ids=segment_ids)
     if self.post_attn_norm:
       attn_out = self.post_attn_norm(params["post_attn_norm"], attn_out)
     x = x + attn_out
@@ -450,7 +466,13 @@ class TransformerLM(Module):
       embed = _constrain(embed_p, self.sh.embed)
       x = embed[tokens].astype(adt) * (cfg.model_dim ** 0.5)
     x = _constrain(x, self.sh.activation)
-    mask = self._mask(positions, kv_positions, segment_ids)
+    # Flash / chunked-local full-sequence paths consume positions +
+    # segment_ids directly — skip materializing the [B, T, T] mask there.
+    uses_fused_mask = cache is None and (
+        cfg.get("use_flash_attention")
+        or (cfg.get("use_window_chunk") and cfg.get("window_chunk_size")))
+    mask = (None if uses_fused_mask
+            else self._mask(positions, kv_positions, segment_ids))
 
     if cfg.use_scan:
       block_fn = self.block
@@ -459,12 +481,14 @@ class TransformerLM(Module):
         def body(x, scanned):
           layer_params, layer_cache = scanned
           out, nc = block_fn(layer_params, x, positions, mask,
-                             layer_cache, cache_index)
+                             layer_cache, cache_index,
+                             segment_ids=segment_ids)
           return out, nc
         xs = (params["blocks"], cache)
       else:
         def body(x, layer_params):
-          out, nc = block_fn(layer_params, x, positions, mask, None, None)
+          out, nc = block_fn(layer_params, x, positions, mask, None, None,
+                             segment_ids=segment_ids)
           return out, nc
         xs = params["blocks"]
 
@@ -477,7 +501,7 @@ class TransformerLM(Module):
         layer_cache = None if cache is None else jax.tree_util.tree_map(
             lambda c: c[i], cache)
         x, nc = self.block(layer_params, x, positions, mask, layer_cache,
-                           cache_index)
+                           cache_index, segment_ids=segment_ids)
         new_caches.append(nc)
       new_cache = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
                                          *new_caches)

@@ -1,26 +1,32 @@
-"""Flash attention for TPU: Pallas forward kernel + blocked-XLA backward.
+"""Flash attention for TPU: Pallas forward + Pallas backward kernels.
 
 The reference plumbs a `use_flash_attention` flag that is never implemented
 (hero/config_lib.py:171 -> model_lib.py:574,1007, unread in Attention.apply).
 Here it is real: an online-softmax streaming kernel that never materializes
-the [T, T] score matrix, with causal + sliding-window masking and the
-reference's attention logit soft-cap (50.0) fused in.
+the [T, T] score matrix, with causal + sliding-window + packed-segment
+masking and the reference's attention logit soft-cap (50.0) fused in.
 
 Design (per pallas_guide.md):
-  * grid (batch*heads, q_blocks, k_blocks), k innermost; VMEM scratch carries
-    the running (max, sum, accumulator) across k blocks; output written at the
-    last k block. Default 512x512 blocks: measured 2.3x faster than XLA's
-    fused dense attention at T=2048 on-device (128x128 was 2x slower —
-    block size dominates; see PERF_NOTES.md).
-  * fully-masked k blocks are skipped at trace time for causal/window cases
-    (compile-time grid pruning via index re-mapping would go further; the
-    @pl.when guard keeps the kernel simple and still skips the FLOPs).
-  * backward is a blocked lax.scan (flash-style, O(T * block) memory) using
-    the saved logsumexp — XLA fuses it well on the MXU; a hand-written
-    backward kernel is a later-round optimization.
+  * forward: grid (batch*heads, q_blocks, k_blocks), k innermost; VMEM
+    scratch carries the running (max, sum, accumulator) across k blocks;
+    output written at the last k block. Default 512x512 blocks: measured
+    2.3x faster than XLA's fused dense attention at T=2048 on-device
+    (128x128 was 2x slower — block size dominates; see PERF_NOTES.md).
+  * backward: two kernels sharing the forward's masking — dq with grid
+    (BN, q_blocks, k_blocks) and dk/dv with grid (BN, k_blocks, q_blocks) —
+    each streaming the opposite operand through VMEM scratch accumulators.
+    delta = rowsum(g * o) and the saved logsumexp enter lane-broadcast
+    ([BN, T, 128]) so per-q-row values land on sublanes without an in-kernel
+    transpose (layout trick from jax.experimental.pallas.ops.tpu).
+  * blocks fully dead under the causal/window masks are skipped with
+    pl.when (upper triangle alone halves the MXU work).
+  * segment ids (packed sequences: no cross-document attention) ride two
+    layouts: q-side [B, T, 128] (lane-broadcast), kv-side [B, 8, T]
+    (sublane-broadcast); the grid's batch*head axis indexes them by b // n
+    so they are stored once per batch row, not per head.
 
 flash_attention(q, k, v): q, k, v are [B, T, N, H] (kv may have fewer heads —
-GQA is handled by the caller repeating, or pass n_rep).
+GQA is handled by repeating kv). segment_ids: optional [B, T] int32.
 """
 
 from __future__ import annotations
@@ -34,9 +40,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LANES = 128
+SUBLANES = 8
 
 
-def _mask_block(qi, kj, block_q, block_k, causal, window, seq_len):
+def _block_mask(qi, kj, block_q, block_k, causal, window, seq_len,
+                qseg_ref=None, kseg_ref=None):
   """Boolean [block_q, block_k] mask for q block qi, k block kj."""
   q_pos = qi * block_q + jax.lax.broadcasted_iota(
       jnp.int32, (block_q, block_k), 0)
@@ -47,10 +56,30 @@ def _mask_block(qi, kj, block_q, block_k, causal, window, seq_len):
     mask &= q_pos >= k_pos
   if window is not None:
     mask &= (q_pos - k_pos) < window
+  if qseg_ref is not None:
+    # q ids are lane-broadcast [block_q, 128]; tile across the k block
+    # (the slice is a no-op when block_k is a multiple of 128).
+    rep = pl.cdiv(block_k, LANES)
+    q_seg = jnp.tile(qseg_ref[0], (1, rep))[:, :block_k]  # [bq, bk]
+    k_seg = kseg_ref[0, :1, :]                            # [1, bk]
+    mask &= q_seg == k_seg
   return mask
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+def _block_live(qi, kj, block_q, block_k, causal, window):
+  """Scalar predicate: does block (qi, kj) contain any unmasked entry?
+
+  Causal/window pruning only (segments can't be pruned block-wise)."""
+  live = True
+  if causal:  # lowest q_pos in block must reach the first k_pos
+    live = jnp.logical_and(live, qi * block_q + block_q - 1 >= kj * block_k)
+  if window is not None:  # highest k_pos must be within window of some q
+    live = jnp.logical_and(
+        live, qi * block_q - (kj * block_k + block_k - 1) < window)
+  return live
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, block_q, block_k, num_k_blocks,
                 causal, window, logit_cap, sm_scale, seq_len):
   kj = pl.program_id(2)
@@ -62,33 +91,39 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     l_scr[:] = jnp.zeros_like(l_scr)
     acc_scr[:] = jnp.zeros_like(acc_scr)
 
-  q = q_ref[0].astype(jnp.float32) * sm_scale       # [bq, H]
-  k = k_ref[0].astype(jnp.float32)                  # [bk, H]
-  v = v_ref[0].astype(jnp.float32)                  # [bk, H]
-  # zero pad rows of the trailing partial block: they are uninitialized, and
-  # even p == 0 can't mask NaNs through the p @ v dot (0 * NaN = NaN)
-  k_rows = kj * block_k + jax.lax.broadcasted_iota(
-      jnp.int32, (block_k, 1), 0)
-  row_valid = k_rows < seq_len
-  k = jnp.where(row_valid, k, 0.0)
-  v = jnp.where(row_valid, v, 0.0)
-  s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                          preferred_element_type=jnp.float32)  # [bq, bk]
-  if logit_cap:
-    s = logit_cap * jnp.tanh(s / logit_cap)
-  mask = _mask_block(qi, kj, block_q, block_k, causal, window, seq_len)
-  s = jnp.where(mask, s, NEG_INF)
+  @pl.when(_block_live(qi, kj, block_q, block_k, causal, window))
+  def _compute():
+    q = q_ref[0].astype(jnp.float32) * sm_scale       # [bq, H]
+    k = k_ref[0].astype(jnp.float32)                  # [bk, H]
+    v = v_ref[0].astype(jnp.float32)                  # [bk, H]
+    # zero pad rows of the trailing partial block: they are uninitialized,
+    # and even p == 0 can't mask NaNs through the p @ v dot (0 * NaN = NaN)
+    k_rows = kj * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_k, 1), 0)
+    row_valid = k_rows < seq_len
+    k = jnp.where(row_valid, k, 0.0)
+    v = jnp.where(row_valid, v, 0.0)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [bq, bk]
+    if logit_cap:
+      s = logit_cap * jnp.tanh(s / logit_cap)
+    mask = _block_mask(qi, kj, block_q, block_k, causal, window, seq_len,
+                       qseg_ref, kseg_ref)
+    s = jnp.where(mask, s, NEG_INF)
 
-  m_prev = m_scr[:]                                 # [bq, 1]
-  m_cur = jnp.max(s, axis=1, keepdims=True)
-  m_new = jnp.maximum(m_prev, m_cur)
-  alpha = jnp.exp(m_prev - m_new)
-  p = jnp.exp(s - m_new)                            # [bq, bk]
-  l_new = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
-  acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-      p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-  m_scr[:] = m_new
-  l_scr[:] = l_new
+    m_prev = m_scr[:]                                 # [bq, 1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    # Fully-masked rows keep m == NEG_INF; their p rows are exp(0) garbage
+    # but alpha == 0 on the first live block flushes them (classic online
+    # softmax) and _finalize guards l == 0.
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                            # [bq, bk]
+    l_new = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_scr[:] = m_new
+    l_scr[:] = l_new
 
   @pl.when(kj == num_k_blocks - 1)
   def _finalize():
@@ -100,28 +135,55 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
 
 
-def _flash_fwd_pallas(q, k, v, *, causal, window, logit_cap, sm_scale,
-                      block_q, block_k, interpret):
-  """q, k, v: [BN, T, H] -> (out [BN, T, H], lse [BN, T])."""
+def _seg_operands(segment_ids, n_heads):
+  """[B, T] int32 -> (qseg [B, T, 128], kseg [B, 8, T]) + head index maps."""
+  qseg = jnp.broadcast_to(segment_ids[:, :, None],
+                          (*segment_ids.shape, LANES))
+  kseg = jnp.broadcast_to(segment_ids[:, None, :],
+                          (segment_ids.shape[0], SUBLANES,
+                           segment_ids.shape[1]))
+  return qseg.astype(jnp.int32), kseg.astype(jnp.int32)
+
+
+def _flash_fwd_pallas(q, k, v, segs, *, n_heads, causal, window, logit_cap,
+                      sm_scale, block_q, block_k, interpret):
+  """q, k, v: [BN, T, H] -> (out [BN, T, H], lse [BN, 8, T])."""
   bn, t, h = q.shape
   block_q = min(block_q, t)
   block_k = min(block_k, t)
   num_q = pl.cdiv(t, block_q)
   num_k = pl.cdiv(t, block_k)
+  n = n_heads
 
   kernel = functools.partial(
       _fwd_kernel, block_q=block_q, block_k=block_k, num_k_blocks=num_k,
       causal=causal, window=window, logit_cap=logit_cap, sm_scale=sm_scale,
       seq_len=t)
 
+  in_specs = [
+      pl.BlockSpec((1, block_q, h), lambda b, i, j: (b, i, 0)),
+      pl.BlockSpec((1, block_k, h), lambda b, i, j: (b, j, 0)),
+      pl.BlockSpec((1, block_k, h), lambda b, i, j: (b, j, 0)),
+  ]
+  operands = [q, k, v]
+  if segs is not None:
+    qseg, kseg = segs
+    in_specs += [
+        pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b // n, i, 0)),
+        pl.BlockSpec((1, SUBLANES, block_k), lambda b, i, j: (b // n, 0, j)),
+    ]
+    operands += [qseg, kseg]
+  else:
+    kernel = functools.partial(kernel)
+    # bind None refs positionally via a wrapper
+    inner = kernel
+    kernel = lambda q_ref, k_ref, v_ref, *rest: inner(
+        q_ref, k_ref, v_ref, None, None, *rest)
+
   out, lse = pl.pallas_call(
       kernel,
       grid=(bn, num_q, num_k),
-      in_specs=[
-          pl.BlockSpec((1, block_q, h), lambda b, i, j: (b, i, 0)),
-          pl.BlockSpec((1, block_k, h), lambda b, i, j: (b, j, 0)),
-          pl.BlockSpec((1, block_k, h), lambda b, i, j: (b, j, 0)),
-      ],
+      in_specs=in_specs,
       out_specs=[
           pl.BlockSpec((1, block_q, h), lambda b, i, j: (b, i, 0)),
           pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
@@ -136,19 +198,191 @@ def _flash_fwd_pallas(q, k, v, *, causal, window, logit_cap, sm_scale,
           pltpu.VMEM((block_q, h), jnp.float32),
       ],
       interpret=interpret,
-  )(q, k, v)
-  return out, lse[:, 0, :]
+  )(*operands)
+  return out, lse
 
 
-def _dense_logits(q, k, *, logit_cap, sm_scale):
-  s = jnp.einsum("bqh,bkh->bqk", q.astype(jnp.float32),
-                 k.astype(jnp.float32)) * sm_scale
+def _bwd_compute(q, k, v, g, lse, delta, mask, *, logit_cap, sm_scale):
+  """Shared backward math for one (q block, k block) tile.
+
+  q, g: [bq, H]; k, v: [bk, H]; lse, delta: [bq, 1]; mask: [bq, bk].
+  Returns (ds_raw [bq, bk] — grad wrt pre-cap scaled logits, p [bq, bk])."""
+  s = jax.lax.dot_general(q * sm_scale, k, (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.float32)
   if logit_cap:
-    s = logit_cap * jnp.tanh(s / logit_cap)
-  return s
+    capped = jnp.tanh(s / logit_cap)
+    dcap = 1.0 - jnp.square(capped)     # d(cap*tanh(s/cap))/ds
+    s_eff = logit_cap * capped
+  else:
+    dcap = 1.0
+    s_eff = s
+  s_eff = jnp.where(mask, s_eff, NEG_INF)
+  p = jnp.exp(s_eff - lse)              # [bq, bk]; masked entries -> 0
+  dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+  ds = p * (dp - delta) * dcap
+  ds = jnp.where(mask, ds, 0.0)
+  return ds, p
 
 
-def _full_mask(t, causal, window):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                   qseg_ref, kseg_ref, dq_ref, dq_scr, *,
+                   block_q, block_k, num_k_blocks, causal, window,
+                   logit_cap, sm_scale, seq_len):
+  kj = pl.program_id(2)
+  qi = pl.program_id(1)
+
+  @pl.when(kj == 0)
+  def _init():
+    dq_scr[:] = jnp.zeros_like(dq_scr)
+
+  @pl.when(_block_live(qi, kj, block_q, block_k, causal, window))
+  def _compute():
+    q = q_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    k_rows = kj * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_k, 1), 0)
+    valid = k_rows < seq_len
+    k = jnp.where(valid, k, 0.0)
+    v = jnp.where(valid, v, 0.0)
+    lse = lse_ref[0, :, :1]      # [bq, 1] (lane-broadcast input)
+    delta = delta_ref[0, :, :1]
+    mask = _block_mask(qi, kj, block_q, block_k, causal, window, seq_len,
+                       qseg_ref, kseg_ref)
+    ds, _ = _bwd_compute(q, k, v, g, lse, delta, mask,
+                         logit_cap=logit_cap, sm_scale=sm_scale)
+    dq_scr[:] = dq_scr[:] + sm_scale * jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+  @pl.when(kj == num_k_blocks - 1)
+  def _finalize():
+    dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                    qseg_ref, kseg_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
+                    block_q, block_k, num_q_blocks, causal, window,
+                    logit_cap, sm_scale, seq_len):
+  qi = pl.program_id(2)
+  kj = pl.program_id(1)
+
+  @pl.when(qi == 0)
+  def _init():
+    dk_scr[:] = jnp.zeros_like(dk_scr)
+    dv_scr[:] = jnp.zeros_like(dv_scr)
+
+  @pl.when(_block_live(qi, kj, block_q, block_k, causal, window))
+  def _compute():
+    q = q_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    q_rows = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, 1), 0)
+    valid = q_rows < seq_len
+    q = jnp.where(valid, q, 0.0)
+    g = jnp.where(valid, g, 0.0)
+    lse = lse_ref[0, :, :1]
+    delta = delta_ref[0, :, :1]
+    mask = _block_mask(qi, kj, block_q, block_k, causal, window, seq_len,
+                       qseg_ref, kseg_ref)
+    mask &= valid  # pad q rows: lse/delta are garbage there
+    ds, p = _bwd_compute(q, k, v, g, lse, delta, mask,
+                         logit_cap=logit_cap, sm_scale=sm_scale)
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dk_scr[:] = dk_scr[:] + sm_scale * jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+  @pl.when(qi == num_q_blocks - 1)
+  def _finalize():
+    dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+    dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_pallas(q, k, v, g, lse, delta, segs, *, n_heads, causal,
+                      window, logit_cap, sm_scale, block_q, block_k,
+                      interpret):
+  """All operands [BN, T, H] except lse/delta [BN, T] -> (dq, dk, dv)."""
+  bn, t, h = q.shape
+  block_q = min(block_q, t)
+  block_k = min(block_k, t)
+  num_q = pl.cdiv(t, block_q)
+  num_k = pl.cdiv(t, block_k)
+  n = n_heads
+
+  # Per-q-row values must land on sublanes inside [bq, bk] tiles: store them
+  # lane-broadcast (layout trick from jax.experimental.pallas.ops.tpu).
+  lse_b = jnp.broadcast_to(lse[:, :, None], (bn, t, LANES))
+  delta_b = jnp.broadcast_to(delta[:, :, None], (bn, t, LANES))
+
+  common = dict(block_q=block_q, block_k=block_k, causal=causal,
+                window=window, logit_cap=logit_cap, sm_scale=sm_scale,
+                seq_len=t)
+
+  def specs(order):
+    """order='dq' -> grid (bn, q, k); 'dkv' -> grid (bn, k, q)."""
+    if order == "dq":
+      qi_map = lambda b, i, j: (b, i, 0)
+      kj_map = lambda b, i, j: (b, j, 0)
+      qseg_map = lambda b, i, j: (b // n, i, 0)
+      kseg_map = lambda b, i, j: (b // n, 0, j)
+    else:
+      qi_map = lambda b, j, i: (b, i, 0)
+      kj_map = lambda b, j, i: (b, j, 0)
+      qseg_map = lambda b, j, i: (b // n, i, 0)
+      kseg_map = lambda b, j, i: (b // n, 0, j)
+    sp = [
+        pl.BlockSpec((1, block_q, h), qi_map),
+        pl.BlockSpec((1, block_k, h), kj_map),
+        pl.BlockSpec((1, block_k, h), kj_map),
+        pl.BlockSpec((1, block_q, h), qi_map),
+        pl.BlockSpec((1, block_q, LANES), qi_map),
+        pl.BlockSpec((1, block_q, LANES), qi_map),
+    ]
+    if segs is not None:
+      sp += [pl.BlockSpec((1, block_q, LANES), qseg_map),
+             pl.BlockSpec((1, SUBLANES, block_k), kseg_map)]
+    return sp, qi_map, kj_map
+
+  operands = [q, k, v, g, lse_b, delta_b]
+  if segs is not None:
+    operands += list(segs)
+    wrap = lambda fn: fn
+  else:
+    wrap = lambda fn: (lambda q_r, k_r, v_r, g_r, l_r, d_r, *rest: fn(
+        q_r, k_r, v_r, g_r, l_r, d_r, None, None, *rest))
+
+  dq_specs, qi_map, _ = specs("dq")
+  dq = pl.pallas_call(
+      wrap(functools.partial(_bwd_dq_kernel, num_k_blocks=num_k, **common)),
+      grid=(bn, num_q, num_k),
+      in_specs=dq_specs,
+      out_specs=pl.BlockSpec((1, block_q, h), qi_map),
+      out_shape=jax.ShapeDtypeStruct((bn, t, h), q.dtype),
+      scratch_shapes=[pltpu.VMEM((block_q, h), jnp.float32)],
+      interpret=interpret,
+  )(*operands)
+
+  dkv_specs, _, kj_map = specs("dkv")
+  dk, dv = pl.pallas_call(
+      wrap(functools.partial(_bwd_dkv_kernel, num_q_blocks=num_q, **common)),
+      grid=(bn, num_k, num_q),
+      in_specs=dkv_specs,
+      out_specs=[pl.BlockSpec((1, block_k, h), kj_map),
+                 pl.BlockSpec((1, block_k, h), kj_map)],
+      out_shape=[jax.ShapeDtypeStruct((bn, t, h), k.dtype),
+                 jax.ShapeDtypeStruct((bn, t, h), v.dtype)],
+      scratch_shapes=[pltpu.VMEM((block_k, h), jnp.float32),
+                      pltpu.VMEM((block_k, h), jnp.float32)],
+      interpret=interpret,
+  )(*operands)
+  return dq, dk, dv
+
+
+def _full_mask(t, causal, window, segment_ids=None):
   q_pos = jnp.arange(t)[:, None]
   k_pos = jnp.arange(t)[None, :]
   mask = jnp.ones((t, t), bool)
@@ -156,83 +390,39 @@ def _full_mask(t, causal, window):
     mask &= q_pos >= k_pos
   if window is not None:
     mask &= (q_pos - k_pos) < window
+  if segment_ids is not None:  # [B, T] -> [B, T, T]
+    mask = mask[None] & (segment_ids[:, :, None] == segment_ids[:, None, :])
   return mask
 
 
-@functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
-def _flash(q, k, v, causal, window, logit_cap, sm_scale, block_q, block_k,
-           interpret):
-  out, _ = _flash_fwd_pallas(q, k, v, causal=causal, window=window,
-                             logit_cap=logit_cap, sm_scale=sm_scale,
-                             block_q=block_q, block_k=block_k,
-                             interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+def _flash(q, k, v, segs, n_heads, causal, window, logit_cap, sm_scale,
+           block_q, block_k, interpret):
+  out, _ = _flash_fwd_pallas(q, k, v, segs, n_heads=n_heads, causal=causal,
+                             window=window, logit_cap=logit_cap,
+                             sm_scale=sm_scale, block_q=block_q,
+                             block_k=block_k, interpret=interpret)
   return out
 
 
-def _flash_fwd(q, k, v, causal, window, logit_cap, sm_scale, block_q, block_k,
-               interpret):
-  out, lse = _flash_fwd_pallas(q, k, v, causal=causal, window=window,
-                               logit_cap=logit_cap, sm_scale=sm_scale,
-                               block_q=block_q, block_k=block_k,
-                               interpret=interpret)
-  return out, (q, k, v, out, lse)
+def _flash_fwd(q, k, v, segs, n_heads, causal, window, logit_cap, sm_scale,
+               block_q, block_k, interpret):
+  out, lse = _flash_fwd_pallas(q, k, v, segs, n_heads=n_heads, causal=causal,
+                               window=window, logit_cap=logit_cap,
+                               sm_scale=sm_scale, block_q=block_q,
+                               block_k=block_k, interpret=interpret)
+  return out, (q, k, v, segs, out, lse[:, 0, :])
 
 
-def _flash_bwd(causal, window, logit_cap, sm_scale, block_q, block_k,
+def _flash_bwd(n_heads, causal, window, logit_cap, sm_scale, block_q, block_k,
                interpret, res, g):
-  """Blocked flash backward in XLA: scan over k blocks (dq) / q blocks (dkv)."""
-  q, k, v, out, lse = res
-  bn, t, h = q.shape
-  bq = min(block_q, t)
-  g = g.astype(jnp.float32)
-  qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
-  delta = jnp.sum(g * out.astype(jnp.float32), axis=-1)  # [BN, T]
-  mask = _full_mask(t, causal, window)
-
-  num_q = t // bq if t % bq == 0 else -(-t // bq)
-  pad = num_q * bq - t
-  if pad:
-    qf = jnp.pad(qf, ((0, 0), (0, pad), (0, 0)))
-    g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
-    lse_p = jnp.pad(lse, ((0, 0), (0, pad)))
-    delta_p = jnp.pad(delta, ((0, 0), (0, pad)))
-    mask_p = jnp.pad(mask, ((0, pad), (0, 0)))
-  else:
-    lse_p, delta_p, mask_p = lse, delta, mask
-
-  def q_block(carry, xs):
-    dk_acc, dv_acc = carry
-    qb, gb, lseb, deltab, maskb = xs  # [BN,bq,H],[BN,bq,H],[BN,bq],[BN,bq],[bq,T]
-    s = jnp.einsum("bqh,bkh->bqk", qb, kf) * sm_scale
-    if logit_cap:
-      capped = jnp.tanh(s / logit_cap)
-      ds_dS = 1.0 - jnp.square(capped)  # d(cap*tanh(s/cap))/ds
-      s = logit_cap * capped
-    else:
-      ds_dS = 1.0
-    s = jnp.where(maskb[None], s, NEG_INF)
-    p = jnp.exp(s - lseb[..., None])
-    dv_acc = dv_acc + jnp.einsum("bqk,bqh->bkh", p, gb)
-    dp = jnp.einsum("bqh,bkh->bqk", gb, vf)
-    ds = p * (dp - deltab[..., None])
-    ds = ds * ds_dS * sm_scale
-    ds = jnp.where(maskb[None], ds, 0.0)
-    dq_b = jnp.einsum("bqk,bkh->bqh", ds, kf)
-    dk_acc = dk_acc + jnp.einsum("bqk,bqh->bkh", ds, qb)
-    return (dk_acc, dv_acc), dq_b
-
-  xs = (
-      qf.reshape(bn, num_q, bq, h).swapaxes(0, 1),
-      g.reshape(bn, num_q, bq, h).swapaxes(0, 1),
-      lse_p.reshape(bn, num_q, bq).swapaxes(0, 1),
-      delta_p.reshape(bn, num_q, bq).swapaxes(0, 1),
-      mask_p.reshape(num_q, bq, t),
-  )
-  (dk, dv), dq_blocks = jax.lax.scan(
-      q_block, (jnp.zeros_like(kf), jnp.zeros_like(vf)), xs)
-  dq = dq_blocks.swapaxes(0, 1).reshape(bn, num_q * bq, h)[:, :t]
-  return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+  q, k, v, segs, out, lse = res
+  delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+  dq, dk, dv = _flash_bwd_pallas(
+      q, k, v, g, lse, delta, segs, n_heads=n_heads, causal=causal,
+      window=window, logit_cap=logit_cap, sm_scale=sm_scale,
+      block_q=block_q, block_k=block_k, interpret=interpret)
+  return dq, dk, dv, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -240,13 +430,15 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 def flash_attention(q, k, v, *, causal: bool = True, window: int | None = None,
                     logit_cap: float = 0.0, sm_scale: float | None = None,
-                    block_q: int = 512, block_k: int = 512,
+                    segment_ids=None, block_q: int = 512, block_k: int = 512,
                     interpret: bool | None = None):
   """Multi-head flash attention.
 
   q: [B, T, N, H]; k, v: [B, T, Nkv, H] (Nkv divides N -> GQA repeat).
   Returns [B, T, N, H]. `window`: sliding-window size (None = full causal).
   `logit_cap`: tanh soft-cap on attention logits (reference uses 50.0).
+  `segment_ids`: optional [B, T] int32 — attention only within equal ids
+  (packed sequences; ref: hero/model_lib.py:405-461 segment masking).
   """
   b, t, n, h = q.shape
   nkv = k.shape[2]
@@ -264,13 +456,19 @@ def flash_attention(q, k, v, *, causal: bool = True, window: int | None = None,
   qf = q.transpose(0, 2, 1, 3).reshape(b * n, t, h)
   kf = k.transpose(0, 2, 1, 3).reshape(b * n, t, h)
   vf = v.transpose(0, 2, 1, 3).reshape(b * n, t, h)
-  out = _flash(qf, kf, vf, causal, window, logit_cap, sm_scale,
+  segs = None
+  if segment_ids is not None:
+    if segment_ids.shape != (b, t):
+      raise ValueError(f"segment_ids must be [B={b}, T={t}], "
+                       f"got {segment_ids.shape}")
+    segs = _seg_operands(segment_ids, n)
+  out = _flash(qf, kf, vf, segs, n, causal, window, logit_cap, sm_scale,
                block_q, block_k, interpret)
   return out.reshape(b, n, t, h).transpose(0, 2, 1, 3)
 
 
 def dense_attention(q, k, v, *, causal=True, window=None, logit_cap=0.0,
-                    sm_scale=None):
+                    sm_scale=None, segment_ids=None):
   """Reference O(T^2) attention for golden tests."""
   b, t, n, h = q.shape
   nkv = k.shape[2]
@@ -284,8 +482,9 @@ def dense_attention(q, k, v, *, causal=True, window=None, logit_cap=0.0,
                  k.astype(jnp.float32)) * sm_scale
   if logit_cap:
     s = logit_cap * jnp.tanh(s / logit_cap)
-  mask = _full_mask(t, causal, window)
-  s = jnp.where(mask[None, None], s, NEG_INF)
+  mask = _full_mask(t, causal, window, segment_ids)
+  mask = mask[:, None] if mask.ndim == 3 else mask[None, None]
+  s = jnp.where(mask, s, NEG_INF)
   p = jax.nn.softmax(s, axis=-1)
   return jnp.einsum("bnqk,bknh->bqnh", p,
                     v.astype(jnp.float32)).astype(q.dtype)

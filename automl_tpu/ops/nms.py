@@ -66,14 +66,16 @@ def nms(boxes, scores, max_output: int, iou_thresh: float = 0.5,
     out_idx = out_idx.at[i].set(best.astype(jnp.int32))
     out_scores = out_scores.at[i].set(best_score)
     ious = _iou_one_to_many(boxes[best], boxes)
-    # TF NonMaxSuppressionV5 semantics: gaussian decay below iou_thresh, hard
-    # zero above it. The reference passes sigma/2 to TF (postprocess.py:192-193)
+    # TF NonMaxSuppressionV5 semantics (`is_soft_nms || sim <= threshold`):
+    # with soft_nms_sigma > 0 the gaussian decay applies to ALL overlaps and
+    # nothing is hard-removed; only sigma == 0 hard-suppresses above
+    # iou_thresh. The reference passes sigma/2 to TF (postprocess.py:192-193)
     # making TF's exp(-iou^2/(2*sigma_tf)) equal exp(-iou^2/sigma) — which is
     # what we compute directly.
-    decay = jnp.exp(-jnp.square(ious) / sigma) if sigma > 0 else 1.0
-    # Hard-suppressed candidates (iou > thresh) are REMOVED, not zero-scored
-    # (TF NMSv5 discards them even with score_threshold == -inf).
-    live_scores = jnp.where(ious > iou_thresh, NEG_INF, live_scores * decay)
+    if sigma > 0:
+      live_scores = live_scores * jnp.exp(-jnp.square(ious) / sigma)
+    else:
+      live_scores = jnp.where(ious > iou_thresh, NEG_INF, live_scores)
     live_scores = live_scores.at[best].set(NEG_INF)
     return live_scores, out_idx, out_scores
 
@@ -94,9 +96,12 @@ def per_class_nms(boxes, scores, classes, max_output: int,
 
   Args: boxes [N,4], scores [N], classes [N] int. Returns same contract as nms().
   """
-  span = jnp.maximum(jnp.max(boxes), 1.0) + 1.0
+  # Decoded boxes are unclipped and may have negative coordinates: rebase to
+  # the full extent so class bands can never overlap.
+  lo = jnp.min(boxes)
+  span = jnp.maximum(jnp.max(boxes) - lo, 1.0) + 1.0
   offset = classes.astype(jnp.float32)[:, None] * span
-  shifted = boxes + offset
+  shifted = (boxes - lo) + offset
   return nms(shifted, scores, max_output, iou_thresh, sigma, score_thresh)
 
 

@@ -41,6 +41,52 @@ def test_flash_non_divisible_t():
   np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
 
 
+def _segments(b, t, seed=7):
+  """Random monotone segment ids (packed-documents shape)."""
+  lengths = jax.random.randint(jax.random.key(seed), (b, t), 0, 2)
+  return jnp.cumsum(lengths, axis=1).astype(jnp.int32)
+
+
+@pytest.mark.parametrize("window,logit_cap", [(None, 0.0), (16, 50.0)])
+def test_flash_segment_ids_match_dense(window, logit_cap):
+  # Regression (ADVICE r1): flash path must honour packed-segment masks.
+  q, k, v = _qkv(t=64)
+  seg = _segments(2, 64)
+  out = flash_attention(q, k, v, window=window, logit_cap=logit_cap,
+                        segment_ids=seg, block_q=16, block_k=16,
+                        interpret=True)
+  want = dense_attention(q, k, v, window=window, logit_cap=logit_cap,
+                         segment_ids=seg)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+
+def test_flash_segment_gradients_match_dense():
+  q, k, v = _qkv(b=1, t=32, n=2, h=8)
+  seg = _segments(1, 32)
+
+  def loss_flash(q, k, v):
+    return jnp.sum(jnp.square(flash_attention(
+        q, k, v, segment_ids=seg, block_q=16, block_k=16, interpret=True)))
+
+  def loss_dense(q, k, v):
+    return jnp.sum(jnp.square(dense_attention(q, k, v, segment_ids=seg)))
+
+  g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+  g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+  for a, b_ in zip(g1, g2):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                               atol=3e-4, rtol=1e-3)
+
+
+def test_flash_segment_gqa():
+  q, k, v = _qkv(n=4, nkv=2, t=64)
+  seg = _segments(2, 64)
+  out = flash_attention(q, k, v, segment_ids=seg, block_q=16, block_k=16,
+                        interpret=True)
+  want = dense_attention(q, k, v, segment_ids=seg)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+
 @pytest.mark.parametrize("window,logit_cap", [(None, 0.0), (8, 50.0)])
 def test_flash_gradients_match_dense(window, logit_cap):
   q, k, v = _qkv(b=1, t=32, n=2, h=8)

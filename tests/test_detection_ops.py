@@ -88,8 +88,12 @@ def np_nmsv5(boxes, scores, max_out, iou_thresh, sigma, score_thresh):
     a1 = (b[2] - b[0]) * (b[3] - b[1])
     a2 = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
     iou = np.where(a1 + a2 - inter > 0, inter / (a1 + a2 - inter), 0)
-    decay = np.exp(-iou ** 2 / sigma) if sigma > 0 else np.ones_like(iou)
-    scores = np.where(iou > iou_thresh, -np.inf, scores * decay)
+    # TF kernel: `is_soft_nms || sim <= threshold ? weight : 0` — soft mode
+    # decays ALL overlaps and never hard-removes; hard mode removes > thresh.
+    if sigma > 0:
+      scores = scores * np.exp(-iou ** 2 / sigma)
+    else:
+      scores = np.where(iou > iou_thresh, -np.inf, scores)
     scores[best] = -np.inf
   return sel, sel_scores
 
@@ -118,6 +122,47 @@ def test_nms_matches_numpy_reference(sigma, iou_thresh, score_thresh):
   np.testing.assert_array_equal(np.asarray(idx)[:got_valid], ref_idx)
   np.testing.assert_allclose(np.asarray(out_scores)[:got_valid], ref_scores,
                              rtol=1e-5)
+
+
+@pytest.mark.parametrize("sigma,iou_thresh,score_thresh", [
+    (0.0, 0.5, float("-inf")),   # hard
+    (0.5, 0.5, 0.001),           # gaussian (reference defaults)
+    (0.5, 0.3, 0.0),
+])
+def test_nms_matches_tf_nmsv5_kernel(sigma, iou_thresh, score_thresh):
+  """Definitive oracle: TF's actual NonMaxSuppressionV5 C++ kernel.
+
+  Convention: our sigma equals 2*soft_nms_sigma_tf (the reference passes
+  sigma/2, efficientdet/tf2/postprocess.py:192-193)."""
+  tf = pytest.importorskip("tensorflow")
+  n, max_out = 64, 12
+  boxes = _random_boxes(3, n)
+  scores = jax.random.uniform(jax.random.key(4), (n,))
+  idx, out_scores, valid = nms_lib.nms(
+      boxes, scores, max_out, iou_thresh, sigma, score_thresh)
+  sel, sel_scores, n_valid = tf.raw_ops.NonMaxSuppressionV5(
+      boxes=np.asarray(boxes), scores=np.asarray(scores),
+      max_output_size=max_out, iou_threshold=iou_thresh,
+      score_threshold=score_thresh if np.isfinite(score_thresh) else -1e38,
+      soft_nms_sigma=sigma / 2.0, pad_to_max_output_size=False)
+  n_valid = int(n_valid)
+  assert int(jnp.sum(valid)) == n_valid
+  np.testing.assert_array_equal(np.asarray(idx)[:n_valid],
+                                np.asarray(sel)[:n_valid])
+  np.testing.assert_allclose(np.asarray(out_scores)[:n_valid],
+                             np.asarray(sel_scores)[:n_valid], rtol=1e-4)
+
+
+def test_per_class_nms_negative_coords_no_cross_class_suppression():
+  # Regression (ADVICE r1): decoded boxes can be negative; the class-offset
+  # span must rebase by the min so adjacent class bands never intersect.
+  boxes = jnp.array([[-50.0, -50.0, -40.0, -40.0],   # class 1, negative coords
+                     [10.0, 10.0, 20.0, 20.0]], jnp.float32)  # class 0
+  scores = jnp.array([0.9, 0.8])
+  classes = jnp.array([1, 0])
+  _, out_scores, valid = nms_lib.per_class_nms(boxes, scores, classes, 2,
+                                               iou_thresh=0.5)
+  assert int(jnp.sum(valid)) == 2, (out_scores, valid)
 
 
 def test_per_class_nms_keeps_overlapping_other_class():

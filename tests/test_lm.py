@@ -251,3 +251,49 @@ def test_window_chunk_wired():
   # early tokens (inside first chunk) see identical context
   np.testing.assert_allclose(np.asarray(out_chunk[:, :4]),
                              np.asarray(out_full[:, :4]), atol=2e-4)
+
+
+def test_flash_lm_honours_segment_ids():
+  """Regression (ADVICE r1): packed-document masks must reach the flash and
+  chunked paths, not just the dense einsum path."""
+  seg = jnp.array([[1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2]],
+                  jnp.int32)
+  tokens = jax.random.randint(jax.random.key(1), (1, 16), 0, 64)
+  cfg = tiny_cfg(use_remat=False)
+  params = lm_lib.TransformerLM(cfg).init(jax.random.key(0))
+  dense, _ = lm_lib.TransformerLM(cfg)(params, tokens, segment_ids=seg)
+  flash, _ = lm_lib.TransformerLM(tiny_cfg(
+      use_remat=False, use_flash_attention=True))(params, tokens,
+                                                  segment_ids=seg)
+  np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
+                             atol=5e-4, rtol=1e-3)
+  # grads flow through the flash+segments path
+  def loss(p):
+    lg, _ = lm_lib.TransformerLM(tiny_cfg(
+        use_remat=False, use_flash_attention=True))(p, tokens,
+                                                    segment_ids=seg)
+    return lm_lib.lm_loss(lg[:, :-1], tokens[:, 1:])
+  g = jax.grad(loss)(params)
+  assert all(bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(g))
+
+
+def test_chunked_local_attn_honours_segment_ids():
+  seg = jnp.array([[1] * 8 + [2] * 8], jnp.int32)
+  tokens = jax.random.randint(jax.random.key(1), (1, 16), 0, 64)
+  cfg_c = tiny_cfg(use_remat=False, use_window_chunk=True,
+                   window_chunk_size=8)
+  params = lm_lib.TransformerLM(tiny_cfg(use_remat=False)).init(
+      jax.random.key(0))
+  out_seg, _ = lm_lib.TransformerLM(cfg_c)(params, tokens, segment_ids=seg)
+  out_noseg, _ = lm_lib.TransformerLM(cfg_c)(params, tokens)
+  # within the first segment nothing changes; the second segment's start
+  # (which previously attended into chunk 0 = segment 1) must change
+  np.testing.assert_allclose(np.asarray(out_seg[:, :8]),
+                             np.asarray(out_noseg[:, :8]), atol=1e-5)
+  assert not np.allclose(np.asarray(out_seg[:, 8]), np.asarray(out_noseg[:, 8]))
+  # and with segments, chunk-2 output == dense-with-segment-mask output where
+  # the chunk window covers the whole segment
+  dense, _ = lm_lib.TransformerLM(tiny_cfg(use_remat=False))(
+      params, tokens, segment_ids=seg)
+  np.testing.assert_allclose(np.asarray(out_seg[:, 8:]),
+                             np.asarray(dense[:, 8:]), atol=5e-5, rtol=1e-4)

@@ -108,8 +108,48 @@ def effnet_var_map(model: EfficientNet,
   return out
 
 
+def _assign(transform=None):
+  """Setter: full-leaf overwrite (optionally transforming the TF value)."""
+  def setter(cur, val):
+    v = transform(val) if transform else val
+    if tuple(cur.shape) != tuple(v.shape):
+      raise ValueError(f"shape mismatch: ckpt {v.shape} vs model {cur.shape}")
+    return v
+  return setter
+
+
+def _assign_row(row, transform=None):
+  """Setter: write into row `row` of a [R, ...]-stacked leaf (scan stacks)."""
+  def setter(cur, val):
+    v = transform(val) if transform else val
+    if tuple(cur.shape[1:]) != tuple(v.shape):
+      raise ValueError(
+          f"shape mismatch: ckpt {v.shape} vs stacked model {cur.shape}")
+    cur = np.array(cur)
+    cur[row] = v
+    return cur
+  return setter
+
+
+def _assign_wsm(j, row=None):
+  """Setter: TF per-input WSM scalar -> element j of our 'wsm' vector
+  (optionally inside row `row` of a cell stack)."""
+  def setter(cur, val):
+    cur = np.array(cur)
+    if row is None:
+      cur[j] = val
+    else:
+      cur[row, j] = val
+    return cur
+  return setter
+
+
 def effdet_var_map(model) -> dict[str, tuple]:
-  """{tf_var_name: (pytree_path, transform)} for a full EfficientDet.
+  """{tf_var_name: (pytree_path, setter)} for a full EfficientDet.
+
+  setter(current_leaf_np, ckpt_value_np) -> new_leaf_np; stacked layouts
+  (scan over BiFPN cells 1..N-1 and head conv repeats) write single TF
+  variables into rows of the stacked leaves.
 
   Naming observed from the reference EfficientDetNet (tf2/efficientdet_keras.py
   name scopes, verified by instantiation):
@@ -122,33 +162,37 @@ def effdet_var_map(model) -> dict[str, tuple]:
     {class,box}_net/{class,box}-{i}/{depthwise_kernel,pointwise_kernel,bias}
     {class,box}_net/{class,box}-{i}-bn-{LEVEL}/*  (LEVEL = 3..max_level)
     {class,box}_net/{class,box}-predict/...
-  WSM scalars are stacked into our per-fnode 'wsm' vector by the converter
-  (returned here under the pseudo-transform ('wsm_stack', n)).
+  Our layout: cell_0 params under fpn_cells/cell_0; cells r >= 1 stacked at
+  row r-1 under fpn_cells/cells_rep; head conv repeat i at row i of
+  {net}/conv_stack and {net}/{prefix}-bn-{LEVEL} (BN stacked [R, C]).
   """
   config = model.config
-  ident = lambda x: x
   out: dict[str, tuple] = {}
 
-  def bn(tf_prefix, path):
+  def bn(tf_prefix, path, row=None):
+    mk = (lambda: _assign()) if row is None else (lambda: _assign_row(row))
     for leaf in ("gamma", "beta", "moving_mean", "moving_variance"):
-      out[f"{tf_prefix}/{leaf}"] = (path + (leaf,), ident)
+      out[f"{tf_prefix}/{leaf}"] = (path + (leaf,), mk())
 
-  def sep_conv(tf_prefix, path):
+  def sep_conv(tf_prefix, path, row=None):
+    mk = (lambda tr=None: _assign(tr)) if row is None else (
+        lambda tr=None: _assign_row(row, tr))
     out[f"{tf_prefix}/depthwise_kernel"] = (
-        path + ("depthwise", "kernel"), _dw_transpose)
+        path + ("depthwise", "kernel"), mk(_dw_transpose))
     out[f"{tf_prefix}/pointwise_kernel"] = (
-        path + ("pointwise", "kernel"), ident)
-    out[f"{tf_prefix}/bias"] = (path + ("pointwise", "bias"), ident)
+        path + ("pointwise", "kernel"), mk())
+    out[f"{tf_prefix}/bias"] = (path + ("pointwise", "bias"), mk())
 
-  def full_conv(tf_prefix, path, bias=True):
-    out[f"{tf_prefix}/kernel"] = (path + ("kernel",), ident)
+  def full_conv(tf_prefix, path, bias=True, row=None):
+    mk = (lambda: _assign()) if row is None else (lambda: _assign_row(row))
+    out[f"{tf_prefix}/kernel"] = (path + ("kernel",), mk())
     if bias:
-      out[f"{tf_prefix}/bias"] = (path + ("bias",), ident)
+      out[f"{tf_prefix}/bias"] = (path + ("bias",), mk())
 
   # backbone
   for tf_name, (path, tr) in effnet_var_map(
       model.backbone, scope=config.backbone_name).items():
-    out[tf_name] = (("backbone",) + path, tr)
+    out[tf_name] = (("backbone",) + path, _assign(tr))
 
   # P6.. resample layers
   for layer in model.resample_layers:
@@ -156,45 +200,51 @@ def effdet_var_map(model) -> dict[str, tuple]:
       full_conv(f"{layer.name}/conv2d", (layer.name, "conv2d"))
       bn(f"{layer.name}/bn", (layer.name, "bn"))
 
-  # BiFPN cells
+  # BiFPN cells: TF cell_0 -> our cell_0; TF cell_r (r>=1) -> cells_rep[r-1]
   num_levels = config.max_level - config.min_level + 1
-  for cell in model.fpn_cells.cells:
+  fpn_cells = model.fpn_cells
+  for rep in range(config.fpn_cell_repeats):
+    if rep == 0:
+      cell, tree_cell, row = fpn_cells.cell0, "cell_0", None
+    else:
+      cell, tree_cell, row = fpn_cells.rep_cell, "cells_rep", rep - 1
     for ni, fnode in enumerate(cell.fnodes):
-      scope = f"fpn_cells/{cell.name}/fnode{ni}"
-      base = ("fpn_cells", cell.name, fnode.name)
+      scope = f"fpn_cells/cell_{rep}/fnode{ni}"
+      base = ("fpn_cells", tree_cell, fnode.name)
       if fnode.weight_method in ("attn", "fastattn", "channel_attn",
                                  "channel_fastattn"):
-        n = len(fnode.inputs_offsets)
-        for j in range(n):
+        for j in range(len(fnode.inputs_offsets)):
           wsm = "WSM" if j == 0 else f"WSM_{j}"
-          out[f"{scope}/{wsm}"] = (base + ("wsm",), ("wsm_stack", j, n))
+          out[f"{scope}/{wsm}"] = (base + ("wsm",), _assign_wsm(j, row))
       for j, offset in enumerate(fnode.inputs_offsets):
         rl = fnode.resample_layers[j]
         if rl.needs_1x1:
           rscope = f"{scope}/resample_{j}_{offset}_{num_levels + ni}"
-          full_conv(f"{rscope}/conv2d", base + (rl.name, "conv2d"))
-          bn(f"{rscope}/bn", base + (rl.name, "bn"))
+          full_conv(f"{rscope}/conv2d", base + (rl.name, "conv2d"), row=row)
+          bn(f"{rscope}/bn", base + (rl.name, "bn"), row=row)
       oc = fnode.op_after_combine
       oscope = f"{scope}/op_after_combine{num_levels + ni}"
       opath = base + (oc.name,)
       if config.separable_conv:
-        sep_conv(f"{oscope}/conv", opath + ("conv",))
+        sep_conv(f"{oscope}/conv", opath + ("conv",), row=row)
       else:
-        full_conv(f"{oscope}/conv", opath + ("conv",))
-      bn(f"{oscope}/bn", opath + ("bn",))
+        full_conv(f"{oscope}/conv", opath + ("conv",), row=row)
+      bn(f"{oscope}/bn", opath + ("bn",), row=row)
 
-  # heads
+  # heads: conv repeat i -> row i of conv_stack; BN (i, level) -> row i of
+  # the per-level [R, C] stack
   for net, prefix, root in ((model.class_net, "class", "class_net"),
                             (model.box_net, "box", "box_net")):
-    for i, conv in enumerate(net.convs):
-      cpath = (root, conv.name)
+    for i in range(net.repeats):
+      cpath = (root, "conv_stack")
       if config.separable_conv:
-        sep_conv(f"{root}/{prefix}-{i}", cpath)
+        sep_conv(f"{root}/{prefix}-{i}", cpath, row=i)
       else:
-        full_conv(f"{root}/{prefix}-{i}", cpath)
-      for lvl_id, bn_layer in enumerate(net.bns[i]):
-        bn(f"{root}/{prefix}-{i}-bn-{config.min_level + lvl_id}",
-           (root, bn_layer.name))
+        full_conv(f"{root}/{prefix}-{i}", cpath, row=i)
+      for lvl_id in range(net.num_levels):
+        level = config.min_level + lvl_id
+        bn(f"{root}/{prefix}-{i}-bn-{level}",
+           (root, f"{prefix}-bn-{level}"), row=i)
     ppath = (root, net.predict.name)
     if config.separable_conv:
       sep_conv(f"{root}/{prefix}-predict", ppath)
@@ -222,7 +272,7 @@ def convert_effdet_checkpoint(ckpt, model, params=None, use_ema: bool = False,
     return node
 
   missing = []
-  for tf_name, (path, transform) in var_map.items():
+  for tf_name, (path, setter) in var_map.items():
     name = tf_name
     if use_ema and f"{tf_name}/ExponentialMovingAverage" in ckpt:
       name = f"{tf_name}/ExponentialMovingAverage"
@@ -232,19 +282,11 @@ def convert_effdet_checkpoint(ckpt, model, params=None, use_ema: bool = False,
     value = np.asarray(ckpt[name])
     node = get_node(params, path)
     leaf = path[-1]
-    if isinstance(transform, tuple) and transform[0] == "wsm_stack":
-      _, j, n = transform
-      cur = np.asarray(node[leaf])
-      cur = cur.copy()
-      cur[j] = value
-      node[leaf] = jnp.asarray(cur, node[leaf].dtype)
-    else:
-      value = transform(value)
-      want = node[leaf]
-      if tuple(want.shape) != tuple(value.shape):
-        raise ValueError(f"shape mismatch at {path}: ckpt {value.shape} "
-                         f"vs model {tuple(want.shape)}")
-      node[leaf] = jnp.asarray(value, want.dtype)
+    want = node[leaf]
+    try:
+      node[leaf] = jnp.asarray(setter(np.asarray(want), value), want.dtype)
+    except ValueError as e:
+      raise ValueError(f"at {path}: {e}") from e
   if missing and strict:
     raise KeyError(f"{len(missing)} variables missing from checkpoint, e.g. "
                    f"{missing[:5]}")

@@ -228,27 +228,65 @@ class FPNCell(Module):
 
 
 class FPNCells(Module):
+  """BiFPN cell stack.
+
+  Cell 0 consumes raw backbone channels (per-input 1x1 resample convs);
+  cells 1..N-1 are structurally identical (uniform fpn_num_filters inputs,
+  no resample convs) so their params are STACKED over a leading [N-1] axis
+  under 'cells_rep' and the cells run under lax.scan — hundreds of small
+  per-cell tensors become a handful of large stacked buffers (fix for the
+  round-1 VMEM-prefetch stall, PERF_NOTES.md). BN updates thread through
+  scan ys and are re-emitted stacked.
+  """
 
   def __init__(self, input_channels: list[int], config: Config, name="fpn_cells"):
     super().__init__(name)
-    self.cells = []
-    channels = list(input_channels)
-    for rep in range(config.fpn_cell_repeats):
-      self.cells.append(FPNCell(channels, config, name=f"cell_{rep}"))
-      channels = [config.fpn_num_filters] * (
-          config.max_level - config.min_level + 1)
+    num_levels = config.max_level - config.min_level + 1
+    uniform = [config.fpn_num_filters] * num_levels
+    self.cell0 = FPNCell(input_channels, config, name="cell_0")
+    self.n_rep = config.fpn_cell_repeats - 1
+    self.rep_cell = (FPNCell(uniform, config, name="cells_rep")
+                     if self.n_rep > 0 else None)
+    # kept for introspection/ckpt tooling
+    self.cells = [self.cell0] + ([self.rep_cell] if self.rep_cell else [])
 
   def init(self, key):
-    return self.init_child(key, self.cells)
+    k0, kr = jax.random.split(key)
+    params = {"cell_0": self.cell0.init(k0)}
+    if self.rep_cell is not None:
+      params["cells_rep"] = jax.vmap(self.rep_cell.init)(
+          jax.random.split(kr, self.n_rep))
+    return params
 
   def apply(self, params, feats, feat_hw, train=False):
-    for cell in self.cells:
-      feats = cell(params[cell.name], feats, feat_hw, train)
-    return feats
+    feats = self.cell0(params["cell_0"], feats, feat_hw, train)
+    if self.rep_cell is None:
+      return feats
+
+    def body(carry, cell_params):
+      out, state_updates = nn.run_and_collect_state(
+          self.rep_cell, cell_params, list(carry), feat_hw, train)
+      return tuple(out), state_updates
+
+    carry, stacked_updates = jax.lax.scan(
+        body, tuple(feats), params["cells_rep"], unroll=True)
+    for path, value in stacked_updates.items():
+      nn.record_state_abs(path, value)
+    return list(carry)
 
 
 class _PredictionNet(Module):
-  """Shared conv tower across levels with per-level BN + prediction layer."""
+  """Shared conv tower across levels with per-level BN + prediction layer.
+
+  TPU layout: the `repeats` identical conv(+BN) layers are STACKED — conv
+  params live in one [R, ...] pytree under 'conv_stack' and the per-level BNs
+  in [R, C] stacks under '{prefix}-bn-{level}' — and the tower runs under
+  lax.scan. Round-1 profiling showed the D0 train step spending 47% of
+  device time on VMEM prefetches of hundreds of small per-repeat tensors
+  (PERF_NOTES.md); stacking turns those into a few large buffers. BN
+  moving-stat updates are threaded through the scan ys (never through the
+  Python collector inside the traced body) and re-emitted stacked.
+  """
 
   def __init__(self, num_outputs: int, num_filters: int, repeats: int,
                num_levels: int, config: Config, predict_bias_init: float,
@@ -256,6 +294,8 @@ class _PredictionNet(Module):
     super().__init__(name)
     self.repeats = repeats
     self.num_levels = num_levels
+    self.min_level = config.min_level
+    self.conv_prefix = conv_prefix
     self.act = L.activation_fn(config.act_type)
     self.survival_prob = config.survival_prob
     self.grad_checkpoint = config.get("grad_checkpoint", False)
@@ -273,41 +313,62 @@ class _PredictionNet(Module):
                         bias_init_value=bias_init, name=nm)
       return conv
 
-    self.convs = [make_conv(num_filters, num_filters, 0.0, f"{conv_prefix}-{i}")
-                  for i in range(repeats)]
-    self.bns = [
-        [L.BatchNorm(num_filters, name=f"{conv_prefix}-{i}-bn-{lvl}")
-         for lvl in range(num_levels)]
-        for i in range(repeats)
+    # One prototype conv/BN per role; params are stacked over repeats.
+    self.conv_proto = make_conv(num_filters, num_filters, 0.0, "conv_stack")
+    self.bn_protos = [
+        L.BatchNorm(num_filters, name=f"{conv_prefix}-bn-{config.min_level + lvl}")
+        for lvl in range(num_levels)
     ]
     self.predict = make_conv(num_filters, num_outputs, predict_bias_init,
                              predict_name)
 
   def init(self, key):
-    children = list(self.convs) + [b for row in self.bns for b in row]
-    children.append(self.predict)
-    return self.init_child(key, children)
+    k_conv, k_bn, k_pred = jax.random.split(key, 3)
+    params = {
+        "conv_stack": jax.vmap(self.conv_proto.init)(
+            jax.random.split(k_conv, self.repeats)),
+        self.predict.name: self.predict.init(k_pred),
+    }
+    for lvl, bn in enumerate(self.bn_protos):
+      params[bn.name] = jax.vmap(bn.init)(
+          jax.random.split(jax.random.fold_in(k_bn, lvl), self.repeats))
+    return params
 
   def apply(self, params, feats, train=False):
     outputs = []
+    use_drop = train and self.survival_prob and nn.has_rng()
+    base_key = nn.make_rng("head_drop") if use_drop else None
     for level_id in range(self.num_levels):
       x = feats[level_id]
-      for i in range(self.repeats):
-        conv, bn = self.convs[i], self.bns[i][level_id]
+      bn = self.bn_protos[level_id]
 
-        def block(x, conv=conv, bn=bn, i=i):
+      def body(x, xs, bn=bn, level_id=level_id):
+        conv_p, bn_p, i = xs
+
+        def block(x):
           orig = x
-          x = conv(params[conv.name], x)
-          x = bn(params[bn.name], x, train)
+          x = self.conv_proto(conv_p, x)
+          # BN updates are returned as outputs (recording through the global
+          # collector inside scan/remat traces would leak tracers).
+          x, state_updates = nn.run_and_collect_state(bn, bn_p, x, train)
           x = self.act(x)
-          if i > 0 and self.survival_prob:
-            x = L.drop_connect(x, train, self.survival_prob)
-            x = x + orig
-          return x
+          if self.survival_prob:
+            if use_drop:
+              key = jax.random.fold_in(
+                  jax.random.fold_in(base_key, level_id), i)
+              x = L.drop_connect_with_key(x, key, self.survival_prob)
+            x = jnp.where(i > 0, x + orig, x)
+          return x, state_updates
 
         if self.grad_checkpoint:
           block = jax.checkpoint(block)
-        x = block(x)
+        return block(x)
+
+      xs = (params["conv_stack"], params[bn.name],
+            jnp.arange(self.repeats, dtype=jnp.int32))
+      x, stacked_updates = jax.lax.scan(body, x, xs, unroll=True)
+      for path, value in stacked_updates.items():
+        nn.record_state_abs(path, value)
       outputs.append(self.predict(params[self.predict.name], x))
     return outputs
 

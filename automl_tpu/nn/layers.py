@@ -345,7 +345,12 @@ def drop_connect(x, train: bool, survival_prob: float):
   """Stochastic depth on the residual branch (ref: efficientdet/utils.py:329-344)."""
   if not train or survival_prob is None or survival_prob >= 1.0:
     return x
-  key = nn.make_rng("drop_connect")
+  return drop_connect_with_key(x, nn.make_rng("drop_connect"), survival_prob)
+
+
+def drop_connect_with_key(x, key, survival_prob: float):
+  """drop_connect with an explicit key — for lax.scan bodies, where make_rng
+  would hand every iteration the same trace-time key."""
   shape = (x.shape[0],) + (1,) * (x.ndim - 1)
   mask = jax.random.bernoulli(key, survival_prob, shape)
   return jnp.where(mask, x / survival_prob, jnp.zeros_like(x))

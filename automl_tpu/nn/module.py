@@ -57,6 +57,14 @@ def record_state(leaf_name: str, value) -> None:
     _COLLECTOR[-1][current_path() + (leaf_name,)] = value
 
 
+def record_state_abs(path: tuple, value) -> None:
+  """Record a new value at an absolute path (re-emitting updates that were
+  captured inside a jax.checkpoint region and returned as outputs, so the
+  collector never sees remat-internal tracers)."""
+  if _COLLECTOR:
+    _COLLECTOR[-1][path] = value
+
+
 def run_and_collect_state(fn: Callable, *args, **kwargs):
   """Run `fn`, returning (output, {path: new_value}) for all recorded state."""
   _COLLECTOR.append({})

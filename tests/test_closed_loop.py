@@ -22,6 +22,12 @@ def test_detection_closed_loop():
   try:
     cfg = get_efficientdet_config("efficientdet-test")
     cfg.override(dict(learning_rate=0.02, lr_warmup_init=0.002))
+    # Evaluate with hard NMS: TF-faithful gaussian soft-NMS (decay-only, no
+    # hard removal) keeps decayed duplicates, which depresses AP on a
+    # partially-converged detector; hard NMS isolates the end-to-end
+    # coherence this test is about.
+    cfg.nms_configs.method = "hard"
+    cfg.nms_configs.sigma = 0.0
     model = EfficientDet(cfg)
     params = jax.jit(model.init)(jax.random.key(0))
     lr = schedules.detection_lr(cfg, steps_per_epoch=100)
@@ -45,7 +51,7 @@ def test_detection_closed_loop():
              "gt_boxes": jnp.asarray(data["gt_boxes"]),
              "gt_classes": jnp.asarray(data["gt_classes"])}
     rng = jax.random.key(1)
-    for _ in range(250):
+    for _ in range(400):
       state, m = step_fn(state, batch, rng)
     assert float(m["loss"]) < 1.0, float(m["loss"])
 

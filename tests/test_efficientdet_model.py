@@ -89,3 +89,43 @@ def test_segmentation_head():
     assert seg.shape == (1, 32, 32, cfg.seg_num_classes)
   finally:
     nn.set_policy("mixed_bfloat16")
+
+
+def test_grad_checkpoint_train_no_tracer_leak():
+  """Regression (ADVICE r1): BN moving-stat updates recorded inside a
+  jax.checkpoint region leaked remat tracers through the state collector."""
+  nn.set_policy("float32")
+  try:
+    cfg = get_efficientdet_config("efficientdet-d0")
+    cfg.override(dict(
+        image_size=32, fpn_num_filters=8, fpn_cell_repeats=1,
+        box_class_repeats=2, num_classes=3,
+        grad_checkpoint=True), allow_new_keys=True)
+    cfg.backbone_config = dict(
+        blocks_args=["r1_k3_s1_e1_i8_o8", "r1_k3_s2_e2_i8_o16",
+                     "r1_k3_s2_e2_i16_o16", "r1_k3_s2_e2_i16_o24",
+                     "r1_k3_s2_e2_i24_o32"],
+        feature_size=16, width_coefficient=1.0, depth_coefficient=1.0)
+    model = EfficientDet(cfg)
+    params = model.init(jax.random.key(0))
+    x = jnp.ones((1, 32, 32, 3))
+
+    @jax.jit
+    def train_fwd(params, x):
+      def fwd(p):
+        with nn.rng_scope(jax.random.key(1)):
+          (cls_out, box_out), updates = nn.run_and_collect_state(
+              model, p, x, True)
+        loss = sum(jnp.mean(jnp.square(c)) for c in cls_out)
+        return loss, updates
+      (loss, updates), grads = jax.value_and_grad(fwd, has_aux=True)(params)
+      return loss, updates, grads
+
+    loss, updates, grads = train_fwd(params, x)
+    assert bool(jnp.isfinite(loss))
+    # head BN stats were actually collected from inside the remat region
+    head_bn = [p for p in updates if "class_net" in p and "moving_mean" in p[-1]]
+    assert head_bn, list(updates)[:5]
+    assert all(bool(jnp.isfinite(v).all()) for v in updates.values())
+  finally:
+    nn.set_policy("mixed_bfloat16")

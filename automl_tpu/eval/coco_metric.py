@@ -81,11 +81,23 @@ class COCOEvaluator:
         self._classes.add(c)
 
   # -- evaluation --------------------------------------------------------
+  #
+  # pycocotools protocol, restructured for speed:
+  #   * the IoU matrix is computed ONCE per (image, class) and shared by all
+  #     four area ranges (pycocotools computeIoU / evaluateImg split);
+  #   * the greedy matcher runs once per (image, class, area) — max-det
+  #     variants are exact prefixes of the maxDet=100 match matrix, so
+  #     accumulate() just slices [:, :max_det] (as pycocotools does);
+  #   * the matcher is vectorized over the 10 IoU thresholds and the gt axis,
+  #     leaving only the (score-ordered, inherently sequential) det loop in
+  #     Python — and dets whose best IoU is below the lowest threshold (the
+  #     vast majority of the top-100) skip the loop entirely.
 
-  def _evaluate_img(self, img, cls, area_rng, max_det):
-    """pycocotools evaluateImg: -> (dt_matches [T,D], dt_ignore [T,D],
-    dt_scores [D], num_valid_gt)."""
-    dets = sorted(self._dets.get((img, cls), []), key=lambda x: -x[0])[:max_det]
+  def _match_img_cls(self, img, cls):
+    """-> (d_scores [D], {area: (dt_matched [T,D], dt_ignore [T,D], n_gt)})
+    or None when the (image, class) pair has no dets and no gt."""
+    dets = sorted(self._dets.get((img, cls), []),
+                  key=lambda x: -x[0])[:MAX_DETS[-1]]
     gts = self._gts.get((img, cls), [])
     T = len(IOU_THRESHOLDS)
     if not dets and not gts:
@@ -96,83 +108,105 @@ class COCOEvaluator:
     g_crowd = np.array([g[1] for g in gts], bool).reshape(-1)
     g_area = ((g_boxes[:, 2] - g_boxes[:, 0])
               * (g_boxes[:, 3] - g_boxes[:, 1])) if len(gts) else np.zeros(0)
-    g_ignore = g_crowd | (g_area < area_rng[0]) | (g_area > area_rng[1])
-    # sort gt: non-ignored first (pycocotools)
-    g_order = np.argsort(g_ignore, kind="stable")
-    g_boxes, g_crowd, g_ignore = g_boxes[g_order], g_crowd[g_order], g_ignore[g_order]
-
-    ious = _iou_matrix(d_boxes, g_boxes, g_crowd)
-    D, G = len(dets), len(gts)
-    dt_m = -np.ones((T, D), int)   # matched gt index or -1
-    gt_m = -np.ones((T, G), int)
-    for ti, thr in enumerate(IOU_THRESHOLDS):
-      for di in range(D):
-        best, best_iou = -1, min(thr, 1 - 1e-10)
-        for gi in range(G):
-          if gt_m[ti, gi] >= 0 and not g_crowd[gi]:
-            continue
-          if best >= 0 and not g_ignore[best] and g_ignore[gi]:
-            break  # gts sorted: once into ignored region with a real match, stop
-          if ious[di, gi] < best_iou:
-            continue
-          best_iou = ious[di, gi]
-          best = gi
-        if best >= 0:
-          dt_m[ti, di] = best
-          gt_m[ti, best] = di
     d_area = ((d_boxes[:, 2] - d_boxes[:, 0])
-              * (d_boxes[:, 3] - d_boxes[:, 1])) if D else np.zeros(0)
-    d_out_of_range = (d_area < area_rng[0]) | (d_area > area_rng[1])
-    dt_ignore = np.zeros((T, D), bool)
-    for ti in range(T):
-      matched = dt_m[ti] >= 0
-      matched_ignored = np.zeros(D, bool)
-      matched_ignored[matched] = g_ignore[dt_m[ti][matched]]
-      dt_ignore[ti] = matched_ignored | (~matched & d_out_of_range)
-    num_valid_gt = int(np.sum(~g_ignore))
-    return dt_m >= 0, dt_ignore, d_scores, num_valid_gt
+              * (d_boxes[:, 3] - d_boxes[:, 1])) if len(dets) else np.zeros(0)
+    D, G = len(dets), len(gts)
+
+    per_area = {}
+    ious = None
+    # matching threshold per row: min(thr, 1 - 1e-10), as pycocotools
+    thr_col = np.minimum(IOU_THRESHOLDS, 1 - 1e-10)[:, None]  # [T, 1]
+    for area, area_rng in AREA_RANGES.items():
+      g_ignore = g_crowd | (g_area < area_rng[0]) | (g_area > area_rng[1])
+      dt_m = -np.ones((T, D), np.int64)
+      if G and D:
+        if ious is None:
+          ious = _iou_matrix(d_boxes, g_boxes, g_crowd)  # [D, G]
+          max_iou = ious.max(axis=1)
+        gt_matched = np.zeros((T, G), bool)
+        # ignored gts always lose to any in-threshold non-ignored gt
+        # (pycocotools' sorted-gt early break); crowd gts stay available.
+        penalty = 2.0 * g_ignore
+        min_thr = thr_col[0, 0]
+        t_idx = np.arange(T)
+        for di in range(D):
+          if max_iou[di] < min_thr:
+            continue  # cannot match at any threshold
+          row = ious[di]                                   # [G]
+          valid = (~gt_matched | g_crowd) & (row >= thr_col)  # [T, G]
+          score = np.where(valid, row - penalty, -np.inf)
+          # last-max to mirror pycocotools' tie behavior (equal IoU -> the
+          # later gt index wins)
+          best = (G - 1) - np.argmax(score[:, ::-1], axis=1)
+          has = score[t_idx, best] > -np.inf
+          dt_m[has, di] = best[has]
+          gt_matched[t_idx[has], best[has]] = True
+      matched = dt_m >= 0
+      matched_ignored = np.zeros((T, D), bool)
+      if D and G:
+        matched_ignored[matched] = g_ignore[dt_m[matched]]
+      d_oor = (d_area < area_rng[0]) | (d_area > area_rng[1])
+      dt_ignore = matched_ignored | (~matched & d_oor[None, :])
+      per_area[area] = (matched, dt_ignore, int(np.sum(~g_ignore)))
+    return d_scores, per_area
+
+  def _evaluated(self):
+    """Cache of per-(img, cls) match results, built once per compute()."""
+    if getattr(self, "_eval_cache", None) is None:
+      self._eval_cache = {}
+      for cls in sorted(self._classes):
+        rows = []
+        for img in sorted(self._images):
+          r = self._match_img_cls(img, cls)
+          if r is not None:
+            rows.append(r)
+        self._eval_cache[cls] = rows
+    return self._eval_cache
 
   def _accumulate(self, area: str, max_det: int):
-    """-> precision [T, R, K], recall [T, K] (K = classes with >=1 gt)."""
-    area_rng = AREA_RANGES[area]
+    """-> precision [T, R, K], recall [T, K] (K = all seen classes)."""
     T, R = len(IOU_THRESHOLDS), len(RECALL_POINTS)
     classes = sorted(self._classes)
     precision = -np.ones((T, R, len(classes)))
     recall = -np.ones((T, len(classes)))
+    cache = self._evaluated()
     for ki, cls in enumerate(classes):
-      per_img = [self._evaluate_img(img, cls, area_rng, max_det)
-                 for img in sorted(self._images)]
-      per_img = [e for e in per_img if e is not None]
-      if not per_img:
+      rows = cache[cls]
+      if not rows:
         continue
-      scores = np.concatenate([e[2] for e in per_img])
+      # per-image maxDet slice BEFORE the global score sort (pycocotools)
+      scores = np.concatenate([r[0][:max_det] for r in rows])
       order = np.argsort(-scores, kind="mergesort")
-      matches = np.concatenate([e[0] for e in per_img], axis=1)[:, order]
-      ignored = np.concatenate([e[1] for e in per_img], axis=1)[:, order]
-      n_gt = sum(e[3] for e in per_img)
+      matches = np.concatenate(
+          [r[1][area][0][:, :max_det] for r in rows], axis=1)[:, order]
+      ignored = np.concatenate(
+          [r[1][area][1][:, :max_det] for r in rows], axis=1)[:, order]
+      n_gt = sum(r[1][area][2] for r in rows)
       if n_gt == 0:
         continue
       keep = ~ignored
+      tp = np.cumsum(matches & keep, axis=1).astype(np.float64)   # [T, N]
+      fp = np.cumsum(~matches & keep, axis=1).astype(np.float64)
+      rc = tp / n_gt
+      pr = tp / np.maximum(tp + fp, 1e-10)
+      recall[:, ki] = rc[:, -1] if rc.shape[1] else 0.0
+      # precision envelope (monotone non-increasing from the right)
+      pr = np.maximum.accumulate(pr[:, ::-1], axis=1)[:, ::-1]
+      n = rc.shape[1]
+      if n == 0:
+        precision[:, :, ki] = 0.0
+        continue
       for ti in range(T):
-        tp = np.cumsum(matches[ti] & keep[ti])
-        fp = np.cumsum(~matches[ti] & keep[ti])
-        rc = tp / n_gt
-        pr = tp / np.maximum(tp + fp, 1e-10)
-        recall[ti, ki] = rc[-1] if len(rc) else 0.0
-        # precision envelope (monotone non-increasing from the right)
-        pr = pr.tolist()
-        for i in range(len(pr) - 1, 0, -1):
-          pr[i - 1] = max(pr[i - 1], pr[i])
-        inds = np.searchsorted(rc, RECALL_POINTS, side="left")
+        inds = np.searchsorted(rc[ti], RECALL_POINTS, side="left")
+        valid = inds < n
         q = np.zeros(R)
-        for ri, pi in enumerate(inds):
-          if pi < len(pr):
-            q[ri] = pr[pi]
+        q[valid] = pr[ti][inds[valid]]
         precision[ti, :, ki] = q
     return precision, recall
 
   def compute(self) -> dict:
     """The standard 12 COCO metrics (+ per-class AP when enabled)."""
+    self._eval_cache = None  # new detections may have arrived since last call
     p_all, r_all = self._accumulate("all", 100)
 
     def mean_valid(x):

@@ -25,6 +25,18 @@ def parse_args(argv=None):
   p.add_argument("--train_file", default=None,
                  help="text file of documents (blank-line separated); "
                       "default: synthetic copy-task data")
+  p.add_argument("--valid_file", default=None,
+                 help="held-out text file for periodic validation")
+  p.add_argument("--tokenizer", default="byte",
+                 help="'byte' or a path to a SentencePiece .model blob")
+  p.add_argument("--lr_schedule", default="cosine_decay",
+                 choices=["cosine_decay", "constant"])
+  p.add_argument("--warmup_steps", type=int, default=0,
+                 help="0 = auto (min(1000, steps/10))")
+  p.add_argument("--eval_every", type=int, default=0,
+                 help="validation interval in steps (0 = off)")
+  p.add_argument("--eval_steps", type=int, default=8)
+  p.add_argument("--ckpt_every", type=int, default=0)
   p.add_argument("--batch_size", type=int, default=8)
   p.add_argument("--seed", type=int, default=0)
   return p.parse_args(argv)
@@ -42,16 +54,26 @@ def main(argv=None):
   mesh_shape = (tuple(int(x) for x in args.mesh_shape.split(","))
                 if args.mesh_shape else None)
   data_iter = None
+  eval_iter = None
   if args.train_file:
-    from automl_tpu.data.lm_pipeline import ByteTokenizer, PackedLMLoader
-    tok = ByteTokenizer()
+    from automl_tpu.data.lm_pipeline import (ByteTokenizer, PackedLMLoader,
+                                             SentencePieceModel)
+    tok = (ByteTokenizer() if args.tokenizer == "byte"
+           else SentencePieceModel(args.tokenizer))
     config.vocab_size = max(config.vocab_size, tok.vocab_size)
     data_iter = iter(PackedLMLoader.from_text_file(
         args.train_file, args.batch_size, config.seq_len, tokenizer=tok))
+    if args.valid_file:
+      eval_iter = PackedLMLoader.from_text_file(
+          args.valid_file, args.batch_size, config.seq_len, tokenizer=tok,
+          repeat=False)
   logs = lm_trainer.run_lm(
       config, args.model_dir, args.train_steps, sharding=sharding,
       mesh_shape=mesh_shape, data_iter=data_iter,
       learning_rate=args.learning_rate,
+      lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
+      eval_iter=eval_iter, eval_every=args.eval_every,
+      eval_steps=args.eval_steps, ckpt_every=args.ckpt_every,
       optimizer=args.optimizer, seed=args.seed)
   print({k: round(v, 4) for k, v in logs.items()})
   return logs

@@ -67,6 +67,226 @@ def pack_documents(token_streams: Iterable[list[int]], seq_len: int,
            "loss_weights": (row != PAD_ID).astype(np.float32)}
 
 
+# ---------------------------------------------------------------------------
+# SentencePiece: minimal self-contained .model reader + unigram encoder.
+#
+# The reference ships two SentencePiece vocab blobs
+# (hero/vb32000_t5_cc.model, hero/vb100864_openmix_v1.model; used via seqio at
+# hero/data_lib.py:38-42). The sentencepiece package is not a dependency
+# here, so the serialized ModelProto is parsed directly (protobuf wire
+# format) and encoding runs the standard unigram Viterbi segmentation over
+# the piece scores.
+# ---------------------------------------------------------------------------
+
+_PIECE_NORMAL = 1
+_PIECE_UNKNOWN = 2
+_PIECE_CONTROL = 3
+_PIECE_USER_DEFINED = 4
+_PIECE_BYTE = 6
+_WS = "▁"  # SentencePiece whitespace marker
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+  result = 0
+  shift = 0
+  while True:
+    b = buf[pos]
+    pos += 1
+    result |= (b & 0x7F) << shift
+    if not b & 0x80:
+      return result, pos
+    shift += 7
+
+
+def _iter_fields(buf: bytes):
+  """Yield (field_number, wire_type, value) over a protobuf message body."""
+  pos = 0
+  n = len(buf)
+  while pos < n:
+    tag, pos = _read_varint(buf, pos)
+    field, wire = tag >> 3, tag & 7
+    if wire == 0:           # varint
+      value, pos = _read_varint(buf, pos)
+    elif wire == 1:         # 64-bit
+      value, pos = buf[pos:pos + 8], pos + 8
+    elif wire == 2:         # length-delimited
+      size, pos = _read_varint(buf, pos)
+      value, pos = buf[pos:pos + size], pos + size
+    elif wire == 5:         # 32-bit
+      value, pos = buf[pos:pos + 4], pos + 4
+    else:
+      raise ValueError(f"unsupported wire type {wire}")
+    yield field, wire, value
+
+
+class SentencePieceModel:
+  """Unigram SentencePiece tokenizer from a serialized .model blob.
+
+  encode() = NFKC-ish normalization (whitespace -> U+2581, optional dummy
+  prefix) + Viterbi segmentation maximizing summed piece log-probs, with
+  byte fallback for out-of-vocabulary characters when the model carries
+  <0xNN> byte pieces. decode() inverts it.
+  """
+
+  def __init__(self, model_path: str, add_dummy_prefix: bool = True):
+    import struct
+    import unicodedata
+    self._unicodedata = unicodedata
+    with open(model_path, "rb") as f:
+      blob = f.read()
+    self.pieces: list[str] = []
+    self.scores: list[float] = []
+    self.types: list[int] = []
+    for field, wire, value in _iter_fields(blob):
+      if field == 1 and wire == 2:  # repeated SentencePiece
+        piece, score, ptype = "", 0.0, _PIECE_NORMAL
+        for f2, w2, v2 in _iter_fields(value):
+          if f2 == 1:
+            piece = v2.decode("utf-8")
+          elif f2 == 2:
+            score = struct.unpack("<f", v2)[0]
+          elif f2 == 3:
+            ptype = v2
+        self.pieces.append(piece)
+        self.scores.append(score)
+        self.types.append(ptype)
+    self.vocab_size = len(self.pieces)
+    self.add_dummy_prefix = add_dummy_prefix
+    self._index = {}
+    self._byte_ids = {}
+    self.unk_id = 0
+    self._max_piece_len = 1
+    for i, (p, t) in enumerate(zip(self.pieces, self.types)):
+      if t == _PIECE_UNKNOWN:
+        self.unk_id = i
+      elif t == _PIECE_BYTE:
+        self._byte_ids[int(p[1:-1], 16)] = i  # "<0xNN>"
+      elif t in (_PIECE_NORMAL, _PIECE_USER_DEFINED):
+        self._index[p] = i
+        self._max_piece_len = max(self._max_piece_len, len(p))
+    self.eos_id = next((i for i, p in enumerate(self.pieces)
+                        if p == "</s>"), EOS_ID)
+    self.pad_id = next((i for i, p in enumerate(self.pieces)
+                        if p == "<pad>"), PAD_ID)
+
+  def _normalize(self, text: str) -> str:
+    text = self._unicodedata.normalize("NFKC", text)
+    text = " ".join(text.split())  # collapse whitespace runs (sp default)
+    if self.add_dummy_prefix:
+      text = " " + text
+    return text.replace(" ", _WS)
+
+  def encode(self, text: str) -> list[int]:
+    s = self._normalize(text)
+    n = len(s)
+    NEG = -1e18
+    # Viterbi over character positions: best[i] = max score of a
+    # segmentation of s[:i]; back[i] = (start, piece_id) of its last piece.
+    best = [NEG] * (n + 1)
+    best[0] = 0.0
+    back: list = [None] * (n + 1)
+    for i in range(n):
+      if best[i] <= NEG:
+        continue
+      for l in range(1, min(self._max_piece_len, n - i) + 1):
+        pid = self._index.get(s[i:i + l])
+        if pid is None:
+          continue
+        cand = best[i] + self.scores[pid]
+        if cand > best[i + l]:
+          best[i + l] = cand
+          back[i + l] = (i, pid)
+      if back[i + 1] is None:
+        # no single-char piece: byte fallback (or unk), low enough that any
+        # real piece is preferred
+        ch = s[i].encode("utf-8")
+        if self._byte_ids:
+          ids = tuple(self._byte_ids[b] for b in ch)
+        else:
+          ids = (self.unk_id,)
+        cand = best[i] + sum(self.scores[j] for j in ids) - 100.0 * len(ids)
+        if cand > best[i + 1]:
+          best[i + 1] = cand
+          back[i + 1] = (i, ids)
+    out: list[int] = []
+    i = n
+    while i > 0:
+      start, pid = back[i]
+      if isinstance(pid, tuple):
+        out.extend(reversed(pid))
+      else:
+        out.append(pid)
+      i = start
+    return out[::-1]
+
+  def decode(self, ids) -> str:
+    parts: list[bytes] = []
+    for i in ids:
+      i = int(i)
+      t = self.types[i]
+      if t in (_PIECE_UNKNOWN, _PIECE_CONTROL):
+        continue
+      if t == _PIECE_BYTE:
+        parts.append(bytes([int(self.pieces[i][1:-1], 16)]))
+      else:
+        parts.append(self.pieces[i].encode("utf-8"))
+    text = b"".join(parts).decode("utf-8", errors="replace")
+    text = text.replace(_WS, " ")
+    return text[1:] if text.startswith(" ") else text
+
+
+# ---------------------------------------------------------------------------
+# Multi-host slicing + chat loss masks (ref: hero/data_lib.py:250-287).
+# ---------------------------------------------------------------------------
+
+
+def select_local_batch(batch: dict, process_index: int | None = None,
+                       num_processes: int | None = None) -> dict:
+  """Slice each array's leading (global-batch) dim to this process's share."""
+  import jax
+  pi = jax.process_index() if process_index is None else process_index
+  np_ = jax.process_count() if num_processes is None else num_processes
+
+  def pick(a):
+    b = a.shape[0]
+    assert b % np_ == 0, (b, np_)
+    local = b // np_
+    return a[pi * local:(pi + 1) * local]
+
+  return {k: pick(np.asarray(v)) for k, v in batch.items()}
+
+
+def chat_loss_mask(token_ids: np.ndarray, mask_start_id: int,
+                   mask_end_id: int) -> np.ndarray:
+  """[B, T] 0/1 weights: 1 for tokens strictly after a `mask_start_id`
+  marker up to and including the next `mask_end_id` (train on assistant
+  turns only; semantics of hero/data_lib.py:273-287's scan: each position
+  emits the state BEFORE its own token, so the start marker itself is
+  unweighted and the end marker is weighted)."""
+  token_ids = np.asarray(token_ids)
+  b, t = token_ids.shape
+  marker = np.where(token_ids == mask_start_id, 1,
+                    np.where(token_ids == mask_end_id, 0, -1))  # [B, T]
+  idx = np.where(marker >= 0, np.arange(t)[None, :], -1)
+  last = np.maximum.accumulate(idx, axis=1)          # last marker pos <= t
+  state = np.where(last >= 0,
+                   np.take_along_axis(marker, np.maximum(last, 0), axis=1),
+                   0)                                # state AT position t
+  # each position's weight is the state before its own token
+  out = np.zeros((b, t), np.float32)
+  out[:, 1:] = state[:, :-1]
+  return out
+
+
+def add_chat_loss_mask(batch: dict, mask_start_id: int,
+                       mask_end_id: int) -> dict:
+  batch = dict(batch)
+  batch["loss_weights"] = (
+      chat_loss_mask(batch["tokens"], mask_start_id, mask_end_id)
+      * batch["loss_weights"])
+  return batch
+
+
 class PackedLMLoader:
   """Text documents -> packed {tokens, segment_ids, loss_weights} batches.
 
@@ -102,5 +322,16 @@ class PackedLMLoader:
     while True:
       batch = list(itertools.islice(rows, self.batch_size))
       if len(batch) < self.batch_size:
+        if batch and not self.repeat:
+          # final partial batch (eval passes): pad with all-pad rows so
+          # shapes stay fixed; their loss_weights are zero.
+          width = self.seq_len + 1
+          pad_row = {
+              "tokens": np.full((width,), PAD_ID, np.int32),
+              "segment_ids": np.zeros((width,), np.int32),
+              "loss_weights": np.zeros((width,), np.float32),
+          }
+          batch += [pad_row] * (self.batch_size - len(batch))
+          yield {k: np.stack([r[k] for r in batch]) for k in batch[0]}
         return
       yield {k: np.stack([r[k] for r in batch]) for k in batch[0]}

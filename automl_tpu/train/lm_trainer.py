@@ -91,13 +91,43 @@ class SyntheticLMData:
       yield {"tokens": tokens.astype(np.int32)}
 
 
+def make_lm_eval_step(model: lm_lib.TransformerLM):
+  """-> eval_step(params, batch) -> (loss, total_weight) on held-out data
+  (ref: hero/model_lib.py:1763-1809 validation loop)."""
+
+  def eval_step(params, batch):
+    tokens = batch["tokens"]
+    inputs, targets = tokens[:, :-1], tokens[:, 1:]
+    weights = batch.get("loss_weights")
+    weights = weights[:, 1:] if weights is not None else jnp.ones(
+        targets.shape, jnp.float32)
+    segment_ids = batch.get("segment_ids")
+    if segment_ids is not None:
+      segment_ids = segment_ids[:, :-1]
+    logits, _ = model(params, inputs, segment_ids=segment_ids)
+    loss = lm_lib.lm_loss(logits, targets, weights)
+    return loss, jnp.sum(weights)
+
+  return eval_step
+
+
 def run_lm(config, model_dir: str, train_steps: int,
            sharding: Optional[lm_lib.ShardingConfig] = None,
            mesh_shape=None, data_iter=None, log_every: int = 20,
            learning_rate: float = 1e-3, optimizer: str = "lion",
+           lr_schedule: str = "cosine_decay", warmup_steps: int = 0,
+           end_decay: float = 0.1, eval_iter=None, eval_every: int = 0,
+           eval_steps: int = 8, ckpt_every: int = 0,
            seed: int = 0) -> dict:
-  """Train a TransformerLM; GSPMD over a mesh when mesh_shape is given."""
+  """Train a TransformerLM; GSPMD over a mesh when mesh_shape is given.
+
+  Parity with hero run_experiment (model_lib.py:1475-1813): scheduled LR
+  with warmup, periodic held-out validation (weight-averaged loss),
+  per-step scalars to metrics.jsonl/TB, periodic + final checkpoints.
+  """
   from automl_tpu.parallel import create_mesh
+  from automl_tpu.train import schedules
+  from automl_tpu.train.metrics import MetricsWriter
   os.makedirs(model_dir, exist_ok=True)
   config.save_to_yaml(os.path.join(model_dir, "experiment_config.yaml"))
 
@@ -105,10 +135,14 @@ def run_lm(config, model_dir: str, train_steps: int,
   sharding = sharding or (lm_lib.ShardingConfig() if mesh
                           else lm_lib.ShardingConfig.data_parallel())
   model = lm_lib.TransformerLM(config, sharding)
+  warmup = warmup_steps or max(1, min(1000, train_steps // 10))
+  lr_fn = schedules.lm_lr(lr_schedule, learning_rate,
+                          num_train_steps=train_steps, warmup_steps=warmup,
+                          end_decay=end_decay)
 
   def build():
     params = jax.jit(model.init)(jax.random.key(seed))
-    tx = opt_lib.build_optimizer(optimizer, learning_rate)
+    tx = opt_lib.build_optimizer(optimizer, lr_fn)
     state = LMTrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
     return tx, state
 
@@ -122,25 +156,59 @@ def run_lm(config, model_dir: str, train_steps: int,
     if restored is not None:
       state = restored
     step_fn = jax.jit(make_lm_train_step(model, tx))
+    eval_fn = jax.jit(make_lm_eval_step(model))
+    writer = MetricsWriter(model_dir)
 
     it = data_iter if data_iter is not None else iter(
         SyntheticLMData(8, config.seq_len, config.vocab_size))
     logs = {}
     t0 = time.perf_counter()
+    prev_t = t0
     step = int(jax.device_get(state.step))
+
+    def run_validation(step):
+      """Weight-averaged held-out loss (incremental mean, as the ref)."""
+      mean_loss, total_w = 0.0, 0.0
+      # iter() restarts re-iterable loaders (fresh pass per validation, as
+      # the ref's validation_set.repeat(1)); plain iterators stream on.
+      for i, ebatch in enumerate(iter(eval_iter)):
+        if i >= eval_steps:
+          break
+        ebatch = {k: jnp.asarray(v) for k, v in ebatch.items()}
+        loss, w = (float(x) for x in jax.device_get(eval_fn(state.params,
+                                                            ebatch)))
+        total_w += w
+        mean_loss += (loss - mean_loss) * (w / max(total_w, 1e-6))
+      writer.write(step, {"validation_loss": mean_loss,
+                          "validation_weights": total_w})
+      print(f"step {step} validation_loss {mean_loss:.4f}")
+      return mean_loss
+
     while step < train_steps:
       batch = {k: jnp.asarray(v) for k, v in next(it).items()}
       with jax.profiler.StepTraceAnnotation("train", step_num=step):
         state, logs = step_fn(state, batch)
       step += 1
+      if ckpt_every and step % ckpt_every == 0:
+        mngr.save(step, jax.device_get(state))
       if step % log_every == 0 or step == train_steps:
         l = {k: float(v) for k, v in jax.device_get(logs).items()}
-        tok_rate = step * batch["tokens"].shape[0] * config.seq_len / (
-            time.perf_counter() - t0)
-        print(f"step {step} loss {l['loss']:.4f} gnorm {l['gnorm']:.3f} "
-              f"({tok_rate:.0f} tok/s)")
+        now = time.perf_counter()
+        l["lr"] = float(lr_fn(step - 1))
+        l["secs_per_step"] = (now - prev_t) / log_every
+        l["tokens_per_sec"] = (batch["tokens"].shape[0] * config.seq_len
+                               * log_every / max(now - prev_t, 1e-9))
+        prev_t = now
+        writer.write(step, l)
+        print(f"step {step} loss {l['loss']:.4f} lr {l['lr']:.2e} "
+              f"gnorm {l['gnorm']:.3f} ({l['tokens_per_sec']:.0f} tok/s)")
+      if eval_iter is not None and eval_every and (
+          step % eval_every == 0 or step == train_steps):
+        logs = dict(logs)
+        logs["validation_loss"] = run_validation(step)
     mngr.save(step, jax.device_get(state))
     mngr.wait_until_finished()
+    writer.close()
     return {k: float(v) for k, v in jax.device_get(logs).items()}
   finally:
     if ctx:

@@ -48,6 +48,45 @@ def warmup_lr(name: str, base_lr: float, *, steps_per_epoch: int | None = None,
   return fn
 
 
+def lm_lr(name: str, base_lr: float, *, num_train_steps: int,
+          warmup_steps: int = 1, end_decay: float = 0.1,
+          decay_start: float | int | None = None,
+          decay_steps: int | None = None,
+          steps_after_decay: int | None = None) -> Callable:
+  """LM schedule family: cosine_decay / constant with linear warmup.
+
+  Semantics of hero/model_lib.py:1227-1283: steps are 1-based inside the
+  schedule; cosine decays from `decay_start` (default = end of warmup;
+  a float in (0, 1) means a fraction of num_train_steps) over `decay_steps`
+  down to `end_decay * lr`; `steps_after_decay` instead pins the decay to
+  finish that many steps before the end.
+  """
+  if decay_steps is not None and steps_after_decay is not None:
+    raise ValueError("Cannot specify both decay_steps and steps_after_decay.")
+  if isinstance(decay_start, float) and 0.0 < decay_start < 1.0:
+    decay_start = int(num_train_steps * decay_start)
+  if steps_after_decay is not None:
+    decay_steps = num_train_steps - steps_after_decay
+    decay_steps -= decay_start if decay_start is not None else warmup_steps
+  if decay_start is None:
+    decay_start = warmup_steps
+  if decay_steps is None:
+    decay_steps = max(num_train_steps - decay_start, 1)
+
+  def fn(step):
+    s = jnp.asarray(step, jnp.float32) + 1.0
+    warmup_factor = jnp.minimum(s, warmup_steps) / warmup_steps
+    if name == "constant":
+      return base_lr * warmup_factor
+    if name == "cosine_decay":
+      progress = jnp.maximum(0.0, s - decay_start) / decay_steps
+      decay = (1 + jnp.cos(jnp.minimum(progress, 1.0) * jnp.pi)) / 2
+      return base_lr * warmup_factor * ((1 - end_decay) * decay + end_decay)
+    raise ValueError(f"Unknown lm lr schedule {name!r}")
+
+  return fn
+
+
 def detection_lr(config, steps_per_epoch: int) -> Callable:
   """Detection schedule: warmup from lr_warmup_init then decay.
 

@@ -297,3 +297,115 @@ def test_chunked_local_attn_honours_segment_ids():
       params, tokens, segment_ids=seg)
   np.testing.assert_allclose(np.asarray(out_seg[:, 8:]),
                              np.asarray(dense[:, 8:]), atol=5e-5, rtol=1e-4)
+
+
+# --- LM runner parity: schedules, validation, metrics ------------------------
+
+
+def test_lm_lr_schedule_hero_semantics():
+  """Goldens against hero/model_lib.py:1256-1283 formulas (1-based steps)."""
+  from automl_tpu.train import schedules
+  import math
+  fn = schedules.lm_lr("cosine_decay", 1.0, num_train_steps=100,
+                       warmup_steps=10, end_decay=0.1)
+  # mid-warmup: step 4 -> (4+1)/10 * full-decay-factor at s=5
+  s = 5.0
+  prog = max(0.0, s - 10) / 90
+  want = (s / 10) * (0.9 * (1 + math.cos(min(prog, 1.0) * math.pi)) / 2 + 0.1)
+  np.testing.assert_allclose(float(fn(4)), want, rtol=1e-6)
+  # end of warmup = peak
+  np.testing.assert_allclose(float(fn(9)), 1.0, rtol=1e-6)
+  # final step decays to end_decay * lr
+  np.testing.assert_allclose(float(fn(99)), 0.1, rtol=1e-4)
+  # constant: warmup then flat
+  cfn = schedules.lm_lr("constant", 0.5, num_train_steps=100, warmup_steps=5)
+  np.testing.assert_allclose(float(cfn(1)), 0.5 * 2 / 5, rtol=1e-6)
+  np.testing.assert_allclose(float(cfn(50)), 0.5, rtol=1e-6)
+  # steps_after_decay: decay finishes 20 steps before the end
+  f2 = schedules.lm_lr("cosine_decay", 1.0, num_train_steps=100,
+                       warmup_steps=10, end_decay=0.1, steps_after_decay=20)
+  np.testing.assert_allclose(float(f2(79)), 0.1, rtol=1e-4)
+  np.testing.assert_allclose(float(f2(99)), 0.1, rtol=1e-4)
+
+
+def test_run_lm_validation_and_metrics(tmp_path):
+  import json
+  from automl_tpu.data.lm_pipeline import PackedLMLoader
+  from automl_tpu.train import lm_trainer
+  cfg = tiny_cfg(use_remat=False, vocab_size=300)  # >= byte-tokenizer ids
+  docs = ["ab cd ef gh " * 4] * 8
+  eval_loader = PackedLMLoader(docs, batch_size=2, seq_len=cfg.seq_len,
+                               repeat=False)
+  logs = lm_trainer.run_lm(cfg, str(tmp_path / "lm"), train_steps=30,
+                           log_every=10, learning_rate=5e-3,
+                           lr_schedule="cosine_decay", warmup_steps=5,
+                           eval_iter=eval_loader, eval_every=15,
+                           eval_steps=2)
+  assert "validation_loss" in logs and np.isfinite(logs["validation_loss"])
+  lines = [json.loads(l) for l in
+           open(tmp_path / "lm" / "metrics.jsonl").read().splitlines()]
+  keys = set().union(*(set(l) for l in lines))
+  assert {"loss", "lr", "gnorm", "validation_loss",
+          "tokens_per_sec"} <= keys, keys
+  # lr actually follows the schedule (warmup then decay: lr@10 > lr@30)
+  lrs = {l["step"]: l["lr"] for l in lines if "lr" in l}
+  assert lrs[10] > lrs[30] > 0
+
+
+# --- LM data parity: sentencepiece, slicing, chat masks ----------------------
+
+
+def test_sentencepiece_reader_roundtrip():
+  import os
+  path = "/root/reference/hero/vb32000_t5_cc.model"
+  if not os.path.exists(path):
+    import pytest
+    pytest.skip("reference vocab blob unavailable")
+  from automl_tpu.data.lm_pipeline import SentencePieceModel
+  sp = SentencePieceModel(path)
+  assert sp.vocab_size == 32100
+  # Known T5 tokenization (published t5 vocab): "Hello" -> 8774
+  assert sp.encode("Hello, world!")[:2] == [8774, 6]
+  for s in ["The quick brown fox jumps over the lazy dog.",
+            "automl on TPUs: 123 + 456 = 579!",
+            "  whitespace   runs   collapse  "]:
+    import unicodedata
+    want = " ".join(unicodedata.normalize("NFKC", s).split())
+    assert sp.decode(sp.encode(s)) == want, s
+  # unigram objective: common words are single pieces, not characters
+  assert len(sp.encode("the")) == 1
+
+
+def test_select_local_batch_two_process_slicing():
+  from automl_tpu.data.lm_pipeline import select_local_batch
+  batch = {"tokens": np.arange(8 * 4).reshape(8, 4),
+           "loss_weights": np.ones((8, 4))}
+  p0 = select_local_batch(batch, process_index=0, num_processes=2)
+  p1 = select_local_batch(batch, process_index=1, num_processes=2)
+  assert p0["tokens"].shape == (4, 4)
+  np.testing.assert_array_equal(
+      np.concatenate([p0["tokens"], p1["tokens"]]), batch["tokens"])
+
+
+def test_chat_loss_mask_matches_reference_scan():
+  """Oracle: the reference's exact lax.scan recurrence
+  (hero/data_lib.py:273-287)."""
+  from automl_tpu.data.lm_pipeline import add_chat_loss_mask, chat_loss_mask
+
+  def oracle(token_ids, start, end):
+    def f(carry, a):
+      new_carry = jnp.where(a == end, -2, jnp.where(a == start, -1, carry))
+      return new_carry, carry
+    tt = jnp.transpose(jnp.asarray(token_ids))  # [T, B]
+    out = jax.lax.scan(f, jnp.full((tt.shape[1],), -2), tt)[1] + 2
+    return np.asarray(jnp.transpose(out))
+
+  rng = np.random.RandomState(0)
+  for _ in range(5):
+    toks = rng.randint(0, 12, (3, 24))
+    got = chat_loss_mask(toks, mask_start_id=10, mask_end_id=11)
+    np.testing.assert_array_equal(got, oracle(toks, 10, 11))
+  batch = {"tokens": toks, "loss_weights": np.ones((3, 24), np.float32)}
+  out = add_chat_loss_mask(batch, 10, 11)
+  np.testing.assert_array_equal(out["loss_weights"],
+                                oracle(toks, 10, 11))

@@ -17,6 +17,12 @@ def parse_args(argv=None):
   p.add_argument("--model_name", default="efficientnetv2-b0")
   p.add_argument("--model_dir", required=True)
   p.add_argument("--hparam_str", default="")
+  p.add_argument("--dataset", default=None,
+                 help="dataset config name (ImageNet, ImageNet21k, "
+                      "ImagenetFt, Cifar10Ft, Cifar100Ft, FlowersFt, "
+                      "TFFlowersFt, CarsFt)")
+  p.add_argument("--data_dir", default=None,
+                 help="TFRecord dir for --dataset (None = synthetic)")
   p.add_argument("--train_file_pattern", default=None)
   p.add_argument("--ft_init_ckpt", default=None,
                  help="published TF ckpt to finetune from (head reinit)")
@@ -33,21 +39,38 @@ def main(argv=None):
   from automl_tpu.train import runners
 
   config = get_model_config(args.model_name)
+  if args.dataset:
+    # config layering: model config <- dataset config <- hparam_str
+    # (ref: efficientnetv2/main.py:319-323)
+    from automl_tpu.data import datasets as ds_lib
+    config.override(ds_lib.get_dataset_config(args.dataset).as_dict(),
+                    allow_new_keys=True)
   config.override(args.hparam_str)
   if args.ft_init_ckpt:
     config.train.ft_init_ckpt = args.ft_init_ckpt
+  if args.data_dir:
+    config.data.data_dir = args.data_dir
   batch_size = int(config.train.batch_size)
-  steps_per_epoch = 1281167 // batch_size  # ImageNet
-  train_steps = args.train_steps or config.train.epochs * steps_per_epoch
+  from automl_tpu.data import datasets as ds_lib
+  spec = ds_lib.DATASETS.get(config.data.ds_name)
+  num_images = (spec.splits["train"].num_images if spec else 1_281_167)
+  steps_per_epoch = max(num_images // batch_size, 1)
+  train_steps = args.train_steps or max(
+      config.train.epochs * steps_per_epoch,
+      int(config.train.get("min_steps") or 0))
   mesh_shape = (tuple(int(x) for x in args.mesh_shape.split(","))
                 if args.mesh_shape else None)
 
   data_iter = None
   if args.train_file_pattern and config.data.ds_name != "null":
-    canvas = int(int(config.train.isize or config.eval.isize) * 1.15) // 2 * 2
+    canvas = int(runners.resolve_train_size(config) * 1.15) // 2 * 2
     data_iter = iter(pipeline.ImageNetTFRecordLoader(
         args.train_file_pattern, is_training=True, batch_size=batch_size,
         canvas_size=canvas, num_classes=config.data.num_classes))
+  elif args.data_dir and spec is not None:
+    canvas = int(runners.resolve_train_size(config) * 1.15) // 2 * 2
+    data_iter = iter(ds_lib.build_dataset(config, "train", batch_size,
+                                          canvas_size=canvas))
 
   metrics = runners.run_classification(
       config, args.model_dir, train_steps, mesh_shape=mesh_shape,

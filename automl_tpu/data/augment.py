@@ -187,7 +187,10 @@ def cutout(image, rng, pad_size, replace=128.0):
   xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
   mask = ((jnp.abs(yy - cy) <= pad_size)
           & (jnp.abs(xx - cx) <= pad_size))[..., None]
-  return jnp.where(mask, jnp.full_like(image, replace), image)
+  # replace may be a scalar or a full-shape array (the ft path uses random
+  # replacement values, ref: preprocessing.py:102-106)
+  fill = jnp.broadcast_to(jnp.asarray(replace, image.dtype), image.shape)
+  return jnp.where(mask, fill, image)
 
 
 # Geometric wrappers (image-only).

@@ -139,6 +139,58 @@ class ImageNetTFRecordLoader:
     return iter(ds.as_numpy_iterator())
 
 
+class MultiLabelTFRecordLoader:
+  """ImageNet21k-style TFRecords ({'id','image','labels'}, ref:
+  efficientnetv2/datasets.py:481-489) -> {'image': uint8 canvas,
+  'label_ids': [B, max_labels] int32, -1 padded}.
+
+  Dense multi-hot expansion happens ON DEVICE (datasets.multihot_on_device)
+  so the host never ships 21843-wide label tensors."""
+
+  def __init__(self, file_pattern: str, is_training: bool, batch_size: int,
+               canvas_size: int, max_labels: int = 16,
+               shuffle_buffer: int = 8192, drop_remainder: bool = True,
+               shard_index: int = 0, num_shards: int = 1):
+    self.cfg = dict(locals())
+    del self.cfg["self"]
+
+  def __iter__(self):
+    tf = _tf()
+    c = self.cfg
+    files = tf.data.Dataset.list_files(c["file_pattern"],
+                                       shuffle=c["is_training"])
+    if c["num_shards"] > 1:
+      files = files.shard(c["num_shards"], c["shard_index"])
+    ds = files.interleave(tf.data.TFRecordDataset, cycle_length=16,
+                          num_parallel_calls=tf.data.AUTOTUNE,
+                          deterministic=not c["is_training"])
+    if c["is_training"]:
+      ds = ds.shuffle(c["shuffle_buffer"]).repeat()
+
+    size, max_labels = c["canvas_size"], c["max_labels"]
+
+    def parse(serialized):
+      feats = tf.io.parse_single_example(serialized, {
+          "image": tf.io.FixedLenFeature((), tf.string),
+          "labels": tf.io.FixedLenSequenceFeature((), tf.int64,
+                                                  allow_missing=True),
+      })
+      image = tf.io.decode_image(feats["image"], channels=3,
+                                 expand_animations=False)
+      image = tf.image.resize(image, (size, size), method="bilinear")
+      image = tf.cast(tf.round(image), tf.uint8)
+      ids = tf.cast(feats["labels"][:max_labels], tf.int32)
+      ids = tf.pad(ids, [[0, max_labels - tf.shape(ids)[0]]],
+                   constant_values=-1)
+      ids = tf.ensure_shape(ids, [max_labels])
+      return {"image": image, "label_ids": ids}
+
+    ds = ds.map(parse, num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.batch(c["batch_size"], drop_remainder=c["drop_remainder"])
+    ds = ds.prefetch(tf.data.AUTOTUNE)
+    return iter(ds.as_numpy_iterator())
+
+
 class DetectionTFRecordLoader:
   """COCO-style detection TFRecords -> fixed-shape uint8 canvas batches.
 

@@ -33,6 +33,31 @@ def normalize_image(image, mean=MEAN_RGB, stddev=STDDEV_RGB):
   return (image.astype(jnp.float32) - mean) / stddev
 
 
+def normalize_cls(image, norm: str = "v2"):
+  """Classification normalization families (efficientnetv2/preprocessing.py):
+  'v2' = (x - 128) / 128 (preprocess_image:150);
+  'ft' = (x/255 - 0.5) / 0.5 (preprocess_for_finetune:82-84);
+  'legacy' = per-channel ImageNet MEAN/STDDEV_RGB (preprocess_legacy,
+  the effnetv1_ dispatcher at preprocessing.py:110-154)."""
+  x = image.astype(jnp.float32)
+  if norm == "v2":
+    return (x - 128.0) / 128.0
+  if norm == "ft":
+    return (x / 255.0 - 0.5) / 0.5
+  if norm == "legacy":
+    return normalize_image(x)
+  raise ValueError(f"Unknown cls norm {norm!r}")
+
+
+def norm_for_augname(augname: str | None) -> tuple[str, str | None]:
+  """(norm, effective augname): 'effnetv1_*' -> legacy norm; 'ft*' -> ft."""
+  if augname and augname.startswith("effnetv1_"):
+    return "legacy", augname[len("effnetv1_"):]
+  if augname and augname.startswith("ft"):
+    return "ft", augname
+  return "v2", augname
+
+
 # ---------------------------------------------------------------------------
 # Classification.
 # ---------------------------------------------------------------------------
@@ -74,7 +99,17 @@ def random_hflip(image, rng):
 
 def cls_train_preprocess(images, rng, out_size: int, augname: str = "randaug",
                          ra_num_layers: int = 2, ra_magnitude: float = 15.0):
-  """[B,H,W,C] uint8 canvas -> [B,out,out,C] f32 normalized, augmented."""
+  """[B,H,W,C] uint8 canvas -> [B,out,out,C] f32 normalized, augmented.
+
+  Dispatches on augname like the reference (preprocessing.py:110-154):
+  'effnetv1_*' uses legacy MEAN/STDDEV normalization, 'ft*' the finetune
+  path (no crop, cutout), otherwise v2 (x-128)/128.
+  """
+  norm, aug = norm_for_augname(augname)
+  if norm == "ft":
+    return cls_finetune_preprocess(images, rng, out_size, augname=aug,
+                                   ra_num_layers=ra_num_layers,
+                                   ra_magnitude=ra_magnitude, train=True)
   b = images.shape[0]
   keys = jax.random.split(rng, b * 3)
   kcrop, kflip, kaug = keys[:b], keys[b:2 * b], keys[2 * b:]
@@ -85,13 +120,41 @@ def cls_train_preprocess(images, rng, out_size: int, augname: str = "randaug",
     return img
 
   imgs = jax.vmap(one)(images, kcrop, kflip)
-  if augname == "randaug":
+  if aug and ("randaug" in aug or "autoaug" in aug):
     imgs = jax.vmap(lambda im, k: augment.randaugment(
         im, k, ra_num_layers, ra_magnitude))(imgs, kaug)
-  return normalize_image(imgs)
+  return normalize_cls(imgs, norm)
 
 
-def cls_eval_preprocess(images, out_size: int, crop_pad: int = 32):
+def cls_finetune_preprocess(images, rng, out_size: int, augname: str = "ft",
+                            ra_num_layers: int = 2, ra_magnitude: float = 15.0,
+                            train: bool = True):
+  """Finetune path (ref: preprocessing.py:73-107): full-image resize (no
+  distorted crop), flip, optional rand/autoaug, then cutout with RANDOM
+  replacement values, all at (x/255 - .5)/.5 normalization."""
+  b, h, w, c = images.shape
+  imgs = jax.image.resize(images.astype(jnp.float32),
+                          (b, out_size, out_size, c), method="bilinear")
+  if not train:
+    return normalize_cls(imgs, "ft")
+  keys = jax.random.split(rng, b * 3)
+  kflip, kaug, kcut = keys[:b], keys[b:2 * b], keys[2 * b:]
+  imgs = jax.vmap(random_hflip)(imgs, kflip)
+  if "randaug" in augname or "autoaug" in augname:
+    imgs = jax.vmap(lambda im, k: augment.randaugment(
+        im, k, ra_num_layers, ra_magnitude))(imgs, kaug)
+  imgs = normalize_cls(imgs, "ft")
+  if augname == "ft" or "cutout" in augname:
+    def cut(img, k):
+      k1, k2 = jax.random.split(k)
+      replace = jax.random.uniform(k1, img.shape, img.dtype, -1.0, 1.0)
+      return augment.cutout(img, k2, pad_size=out_size // 4, replace=replace)
+    imgs = jax.vmap(cut)(imgs, kcut)
+  return imgs
+
+
+def cls_eval_preprocess(images, out_size: int, crop_pad: int = 32,
+                        norm: str = "v2"):
   """Center crop fraction out/(out+pad) then resize (ref: preprocessing.py:58-70)."""
   b, h, w, c = images.shape
   frac = out_size / (out_size + crop_pad)
@@ -100,7 +163,7 @@ def cls_eval_preprocess(images, out_size: int, crop_pad: int = 32):
   crop = images[:, y0:y0 + crop_h, x0:x0 + crop_w]
   out = jax.image.resize(crop.astype(jnp.float32),
                          (b, out_size, out_size, c), method="bicubic")
-  return normalize_image(out)
+  return normalize_cls(out, norm)
 
 
 # ---------------------------------------------------------------------------

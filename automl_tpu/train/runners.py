@@ -31,9 +31,18 @@ from automl_tpu.train import schedules, train_lib
 from automl_tpu.train.checkpoint import CheckpointManager, archive_ckpt
 
 
+def resolve_train_size(config) -> int:
+  """train.isize <= 16 is a FRACTION of eval.isize (ref: main.py:325-328)."""
+  esize = config.eval.isize or config.train.isize
+  tsize = float(config.train.isize or esize)
+  if tsize <= 16.0:
+    tsize = int(float(esize) * tsize) // 16 * 16
+  return int(tsize)
+
+
 def _progressive_stage_params(config, stage: int, total_stages: int):
   """Per-stage (image_size, ram, mixup, cutmix) ramps (main.py:470-480)."""
-  target = int(config.train.isize)
+  target = resolve_train_size(config)
   ibase = int(config.data.ibase or target)
   if total_stages <= 1:
     return target, config.data.ram, config.data.mixup_alpha, config.data.cutmix_alpha
@@ -114,7 +123,14 @@ def run_classification(config, model_dir: str, train_steps: int,
       images = preprocessing.cls_train_preprocess(
           batch["image"], k1, isize, augname=augname,
           ra_num_layers=config.data.ra_num_layers, ra_magnitude=ram)
-      labels = batch["label"]
+      if "label_ids" in batch:
+        # multiclass (ImageNet21k): padded id lists -> dense multi-hot on
+        # device (ref host path: datasets.py:493-498)
+        from automl_tpu.data import datasets as ds_lib
+        labels = ds_lib.multihot_on_device(batch["label_ids"],
+                                           config.data.num_classes)
+      else:
+        labels = batch["label"]
       if mixup_a or cutmix_a:
         images, labels = augment.mixing(images, labels, k2, mixup_a, cutmix_a)
       return {"image": images, "label": labels}
@@ -122,9 +138,16 @@ def run_classification(config, model_dir: str, train_steps: int,
     step_fn = jax.jit(train_lib.make_cls_train_step(
         model, tx, config, preprocess_fn=preprocess))
 
-    it = data_iter if data_iter is not None else iter(
-        pipeline.SyntheticClassification(
-            batch_size, int(isize * 1.15) // 2 * 2, config.data.num_classes))
+    if data_iter is not None:
+      it = data_iter
+    elif config.data.get("multiclass"):
+      from automl_tpu.data import datasets as ds_lib
+      it = iter(ds_lib.SyntheticMultiLabel(
+          batch_size, int(isize * 1.15) // 2 * 2, config.data.num_classes,
+          int(config.data.get("max_labels", 16))))
+    else:
+      it = iter(pipeline.SyntheticClassification(
+          batch_size, int(isize * 1.15) // 2 * 2, config.data.num_classes))
     stage_end = min((stage + 1) * stage_steps, train_steps)
     while step < stage_end:
       batch = next(it)

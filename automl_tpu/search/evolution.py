@@ -27,20 +27,39 @@ def regularized_evolution(
     tournament_size: int = 5,
     seed: int = 0,
     minimize: bool = True,
+    hparam_tune_prob: float = 0.25,
+    abstract_inputs: dict | None = None,
 ):
-  """Returns (best_program, best_fitness, history)."""
+  """Returns (best_program, best_fitness, stats).
+
+  Dedup is by FUNCTIONAL hash (abstract-value execution, so renamed/dead-code
+  variants hit the cache, ref: hero/core.py:360); with probability
+  `hparam_tune_prob` a cycle tunes one scalar instead of mutating structure
+  (ref: hero/core.py:178). When `abstract_inputs` is given (name -> example
+  array), children are shape-validated by abstract execution before any real
+  evaluation spend (ref: hero's abstract execution gate).
+
+  stats: dict(history, evaluations, cache_hits, rejected_abstract).
+  """
   rng = random.Random(seed)
   sign = 1.0 if minimize else -1.0
   population = collections.deque()
   cache: dict[str, float] = {}
+  stats = {"evaluations": 0, "cache_hits": 0, "rejected_abstract": 0}
 
   def run(prog: Program) -> float:
-    h = prog.hash()
-    if h not in cache:
-      try:
-        cache[h] = float(evaluate(prog))
-      except Exception:
-        cache[h] = float("inf")
+    h = prog.functional_hash()
+    if h in cache:
+      stats["cache_hits"] += 1
+      return cache[h]
+    try:
+      if abstract_inputs is not None:
+        prog.abstract_execute(**abstract_inputs)
+      stats["evaluations"] += 1
+      cache[h] = float(evaluate(prog))
+    except Exception:
+      stats["rejected_abstract"] += 1
+      cache[h] = float("inf") * sign
     return cache[h]
 
   best = seed_program
@@ -52,7 +71,10 @@ def regularized_evolution(
     sample = rng.sample(list(population),
                         min(tournament_size, len(population)))
     parent = min(sample, key=lambda pf: sign * pf[1])[0]
-    child = parent.mutate(rng)
+    if rng.random() < hparam_tune_prob:
+      child = parent.hparam_tune(rng)
+    else:
+      child = parent.mutate(rng)
     fit = run(child)
     population.append((child, fit))
     if len(population) > population_size:
@@ -60,4 +82,5 @@ def regularized_evolution(
     if sign * fit < sign * best_fit:
       best, best_fit = child, fit
     history.append(best_fit)
-  return best, best_fit, history
+  stats["history"] = history
+  return best, best_fit, stats

@@ -79,22 +79,58 @@ class FunctionRegistry(dict):
     return fn
 
 
+def _nonneg(fn):
+  """Domain guard: apply to |x| (ref: fn_lib.py nonneg)."""
+  return lambda x: fn(jnp.abs(x))
+
+
 def default_registry() -> FunctionRegistry:
+  """The whitelisted math table — full coverage of hero/fn_lib.py:54-138
+  (trig/hyperbolic families, exp/log families, powers, tree reductions),
+  with domain guards so mutants can't produce NaN out of range."""
   r = FunctionRegistry()
-  for name, fn in [
-      ("sign", jnp.sign), ("abs", jnp.abs), ("sqrt", lambda x: jnp.sqrt(jnp.abs(x))),
-      ("exp", lambda x: jnp.exp(jnp.clip(x, -30, 30))),
-      ("log", lambda x: jnp.log(jnp.abs(x) + 1e-12)),
-      ("tanh", jnp.tanh), ("neg", lambda x: -x), ("square", jnp.square),
-      ("reciprocal", lambda x: 1.0 / (x + jnp.sign(x) * 1e-12 + (x == 0) * 1e-12)),
-  ]:
+  unary = {
+      "sign": jnp.sign,
+      "abs": jnp.abs,
+      "neg": lambda x: -x,
+      "negative": lambda x: -x,
+      "square": jnp.square,
+      "sqrt": _nonneg(jnp.sqrt),
+      "cube": lambda x: x * x * x,
+      "cbrt": jnp.cbrt,
+      "reciprocal": lambda x: 1.0 / (x + jnp.sign(x) * 1e-12 + (x == 0) * 1e-12),
+      "cos": jnp.cos, "sin": jnp.sin, "tan": jnp.tan,
+      "arcsin": lambda x: jnp.arcsin(jnp.clip(x, -1.0, 1.0)),
+      "arccos": lambda x: jnp.arccos(jnp.clip(x, -1.0, 1.0)),
+      "arctan": jnp.arctan,
+      "sinh": lambda x: jnp.sinh(jnp.clip(x, -30, 30)),
+      "cosh": lambda x: jnp.cosh(jnp.clip(x, -30, 30)),
+      "tanh": jnp.tanh,
+      "arcsinh": jnp.arcsinh,
+      "arccosh": lambda x: jnp.arccosh(jnp.abs(x) + 1.0),
+      "arctanh": lambda x: jnp.arctanh(jnp.clip(x, -1 + 1e-7, 1 - 1e-7)),
+      "exp": lambda x: jnp.exp(jnp.clip(x, -30, 30)),
+      "exp2": lambda x: jnp.exp2(jnp.clip(x, -30, 30)),
+      "exp10": lambda x: jnp.power(10.0, jnp.clip(x, -15, 15)),
+      "expm1": lambda x: jnp.expm1(jnp.clip(x, -30, 30)),
+      "log": _nonneg(lambda x: jnp.log(x + 1e-12)),
+      "log2": _nonneg(lambda x: jnp.log2(x + 1e-12)),
+      "log10": _nonneg(lambda x: jnp.log10(x + 1e-12)),
+      "log1p": lambda x: jnp.log(jnp.abs(1.0 + x) + 1e-12),
+  }
+  for name, fn in unary.items():
     r.register(name, _tree_unary(fn), 1)
   for name, fn in [
       ("add", jnp.add), ("sub", jnp.subtract), ("mul", jnp.multiply),
       ("div", lambda a, b: a / (b + jnp.sign(b) * 1e-12 + (b == 0) * 1e-12)),
       ("max", jnp.maximum), ("min", jnp.minimum),
+      ("power", lambda a, b: jnp.power(jnp.abs(a) + 1e-12, jnp.clip(b, -8, 8))),
   ]:
     r.register(name, _tree_binary(fn), 2)
+  # no-arg constants (ref: fn_lib.py noarg_fn_dict)
+  r.register("get_pi", lambda: jnp.pi, 0)
+  r.register("get_e", lambda: jnp.e, 0)
+  r.register("get_eps", lambda: 1e-8, 0)
   r.register("interpolate", _interpolate, 3)
   r.register("global_norm", _global_norm, 1)
   r.register("dot", _dot, 2)
@@ -182,6 +218,63 @@ class Program:
 
   def hash(self) -> str:
     return hashlib.sha256(self.canonical().encode()).hexdigest()[:16]
+
+  def functional_hash(self) -> str:
+    """Hash over ABSTRACT VALUES, not syntax (ref: hero/core.py:360
+    compute_hash executing against a HashTracker namespace): the program is
+    executed symbolically — each input is a fixed token, every call produces
+    hash(fn_name, arg_tokens) — and the hash is taken over the RETURN
+    value's tokens only. Renamed variables, reordered independent
+    statements, and dead assignments therefore hash identically; any change
+    that affects the computed function (including constants) does not."""
+    def sym(node: ast.expr, env: dict) -> str:
+      if isinstance(node, ast.Name):
+        if node.id not in env:
+          raise NameError(node.id)
+        return env[node.id]
+      if isinstance(node, ast.Constant):
+        return f"const:{node.value!r}"
+      if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+        # hash exactly as a call to `neg` so `-x` and `neg(x)` dedup
+        return hashlib.sha256(
+            f"neg({sym(node.operand, env)})".encode()).hexdigest()[:24]
+      if isinstance(node, ast.Call):
+        args = ",".join(sym(a, env) for a in node.args)
+        return hashlib.sha256(
+            f"{node.func.id}({args})".encode()).hexdigest()[:24]
+      if isinstance(node, ast.Tuple):
+        return "(" + ",".join(sym(e, env) for e in node.elts) + ")"
+      raise ValueError(ast.dump(node))
+
+    env = {name: f"input:{name}" for name in self.inputs}
+    for stmt in self.body[:-1]:
+      env[stmt.targets[0].id] = sym(stmt.value, env)
+    out = sym(self.body[-1].value, env)
+    return hashlib.sha256(out.encode()).hexdigest()[:16]
+
+  def collect_hparams(self) -> list[ast.Constant]:
+    """The hard-coded numeric scalars (ref: hero/core.py collect_scalars)."""
+    return [n for n in ast.walk(ast.Module(body=self.body, type_ignores=[]))
+            if isinstance(n, ast.Constant)
+            and isinstance(n.value, (int, float))
+            and not isinstance(n.value, bool)]
+
+  def hparam_tune(self, rng: random.Random) -> "Program":
+    """Mutate ONE scalar constant, leaving the structure alone
+    (hyperparameter-tuning mode, ref: hero/core.py:178-190)."""
+    body = copy.deepcopy(self.body)
+    consts = [n for n in ast.walk(ast.Module(body=body, type_ignores=[]))
+              if isinstance(n, ast.Constant)
+              and isinstance(n.value, (int, float))
+              and not isinstance(n.value, bool)]
+    if not consts:
+      return Program(self.source, self.inputs, self.registry)
+    node = rng.choice(consts)
+    factor = rng.choice([0.1, 0.3, 0.5, 2.0, 3.0, 10.0, -1.0])
+    node.value = float(node.value) * factor
+    module = ast.Module(body=body, type_ignores=[])
+    ast.fix_missing_locations(module)
+    return Program(ast.unparse(module), self.inputs, self.registry)
 
   def __str__(self):
     return ast.unparse(ast.Module(body=self.body, type_ignores=[]))

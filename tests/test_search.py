@@ -114,3 +114,101 @@ def test_evolution_improves_regression():
       seed, evaluate, cycles=15, population_size=8, seed=1)
   assert best_fit <= base_fit
   assert np.isfinite(best_fit)
+
+
+def test_functional_hash_invariances():
+  """Renamed variables, dead code, and -x/neg(x) hash identically; any
+  change to the computed function (constants, ops) does not
+  (ref semantics: hero/core.py:360 abstract-value compute_hash)."""
+  a = Program("u = interpolate(m, g, 0.1)\nreturn sign(u)", ("g", "m"))
+  renamed = Program("zz = interpolate(m, g, 0.1)\nreturn sign(zz)", ("g", "m"))
+  dead = Program("u = interpolate(m, g, 0.1)\nunused = square(g)\n"
+                 "return sign(u)", ("g", "m"))
+  reordered = Program("dead2 = abs(m)\nu = interpolate(m, g, 0.1)\n"
+                      "return sign(u)", ("g", "m"))
+  assert a.functional_hash() == renamed.functional_hash()
+  assert a.functional_hash() == dead.functional_hash()
+  assert a.functional_hash() == reordered.functional_hash()
+  # but their syntactic hashes differ
+  assert a.hash() != dead.hash()
+  # semantic changes change the hash
+  diff_const = Program("u = interpolate(m, g, 0.2)\nreturn sign(u)", ("g", "m"))
+  diff_fn = Program("u = interpolate(m, g, 0.1)\nreturn tanh(u)", ("g", "m"))
+  assert a.functional_hash() != diff_const.functional_hash()
+  assert a.functional_hash() != diff_fn.functional_hash()
+  # -x vs neg(x) dedup
+  n1 = Program("return -g", ("g",))
+  n2 = Program("return neg(g)", ("g",))
+  assert n1.functional_hash() == n2.functional_hash()
+
+
+def test_hparam_tune_changes_only_scalars():
+  p = _lion_prog()
+  rng = random.Random(3)
+  tuned = p.hparam_tune(rng)
+  # structure identical: same ops in same order
+  import ast as ast_mod
+  ops = lambda prog: [n.func.id for s in prog.body
+                      for n in ast_mod.walk(s) if isinstance(n, ast_mod.Call)]
+  assert ops(tuned) == ops(p)
+  # exactly the scalars may differ, and at least one does across draws
+  vals = lambda prog: [n.value for n in prog.collect_hparams()]
+  assert any(vals(p.hparam_tune(random.Random(s))) != vals(p)
+             for s in range(5))
+
+
+def test_evolution_dedup_cache_hits():
+  """Functionally-equivalent mutants must not re-spend evaluations."""
+  calls = []
+
+  def evaluate(prog):
+    calls.append(prog.functional_hash())
+    return 1.0
+
+  seed = Program(MOMENTUM_PROGRAM, inputs=("g", "m", "w"))
+  _, _, stats = evolution.regularized_evolution(
+      seed, evaluate, cycles=40, population_size=8, seed=0,
+      hparam_tune_prob=0.0)
+  assert stats["cache_hits"] > 0
+  assert stats["evaluations"] == len(calls) == len(set(calls))
+
+
+def test_evolution_rediscovers_sign_update():
+  """On an ill-conditioned quadratic (coordinate scales spanning 1e-2..1e2),
+  a Lion-like sign update dominates magnitude-following updates; evolution
+  from a tanh seed should find `sign` (cf. hero/core_test.py:838 flow)."""
+  scales = jnp.array([0.01, 0.1, 1.0, 10.0, 100.0])
+
+  def evaluate(prog):
+    tx = program_to_optimizer(prog, learning_rate=0.05)
+    w = jnp.full((5,), 2.0)
+    state = tx.init(w)
+
+    @jax.jit
+    def step(w, state):
+      loss, g = jax.value_and_grad(
+          lambda w: jnp.sum(scales * jnp.square(w)))(w)
+      up, state = tx.update(g, state, w)
+      return w + up, state, loss
+
+    loss = jnp.inf
+    for _ in range(40):
+      w, state, loss = step(w, state)
+    return float(loss)
+
+  seed_prog = Program(
+      "u = interpolate(m, g, 0.1)\nupdate = tanh(u)\n"
+      "m_new = interpolate(m, g, 0.01)\nreturn update, m_new",
+      inputs=("g", "m", "w"))
+  base = evaluate(seed_prog)
+  lion_fit = evaluate(_lion_prog())  # the target: Lion's sign update
+  assert lion_fit < base * 0.5  # sign genuinely dominates here
+  g_spec = jax.ShapeDtypeStruct((5,), jnp.float32)
+  best, best_fit, stats = evolution.regularized_evolution(
+      seed_prog, evaluate, cycles=120, population_size=12, seed=0,
+      abstract_inputs=dict(g=g_spec, m=g_spec, w=g_spec))
+  # the search must reach Lion-like quality (it often literally rediscovers
+  # `sign`, but other scale-robust updates are equally valid discoveries)
+  assert best_fit <= lion_fit * 1.5, (best_fit, lion_fit, str(best))
+  assert best_fit < base * 0.5, (best_fit, base)
+  assert stats["evaluations"] > 10 and np.isfinite(best_fit)

@@ -28,6 +28,10 @@ def parse_args(argv=None):
   p.add_argument("--eval_samples", type=int, default=5000)
   p.add_argument("--eval_every", type=int, default=0,
                  help="steps between in-training evals (train_and_eval)")
+  p.add_argument("--eval_timeout", type=float, default=0,
+                 help="eval mode: watch the ckpt dir and evaluate each new "
+                      "checkpoint until this many seconds pass with no new "
+                      "one (ref: main.py:303-327). 0 = evaluate latest once.")
   p.add_argument("--mesh_shape", default=None,
                  help="e.g. 1,8,1 for (replica, data, model); model>1 enables "
                       "spatial partitioning of image H")
@@ -90,13 +94,36 @@ def main(argv=None):
         lambda s: jnp.zeros(s.shape, s.dtype), params)
     mngr = CheckpointManager(f"{args.model_dir}/ckpt")
     tx = opt_lib.masked_for_params(opt_lib.build_optimizer("sgd", 0.0), template)
-    state = mngr.restore(train_lib.create_train_state(template, tx))
-    if state is None:
+    state_template = train_lib.create_train_state(template, tx)
+
+    def eval_step_num(step):
+      try:
+        state = mngr.restore(state_template, step=step)
+      except (FileNotFoundError, ValueError) as e:
+        # the trainer may garbage-collect a checkpoint mid-eval
+        # (ref: main.py:320-326 NotFoundError tolerance)
+        print(f"checkpoint {step} vanished, skipping: {e}")
+        return None
+      if state is None:
+        return None
+      m = runners.evaluate_detection(
+          model, state.ema_params or state.params, config, eval_iter(),
+          eval_steps)
+      print(f"step {step}:", {k: round(v, 4) for k, v in m.items()})
+      return m
+
+    if args.eval_timeout:
+      from automl_tpu.train.checkpoint import watch_checkpoints
+      metrics = None
+      for step in watch_checkpoints(mngr.directory,
+                                    timeout_secs=args.eval_timeout):
+        metrics = eval_step_num(step) or metrics
+      if metrics is None:
+        raise FileNotFoundError(f"no checkpoint in {args.model_dir}/ckpt")
+      return metrics
+    metrics = eval_step_num(mngr.latest_step())
+    if metrics is None:
       raise FileNotFoundError(f"no checkpoint in {args.model_dir}/ckpt")
-    metrics = runners.evaluate_detection(
-        model, state.ema_params or state.params, config, eval_iter(),
-        eval_steps)
-    print({k: round(v, 4) for k, v in metrics.items()})
     return metrics
 
   metrics = runners.run_detection(

@@ -19,6 +19,13 @@ def parse_args(argv=None):
   p.add_argument("--sharding_config", default="gspmd",
                  choices=["gspmd", "dp"])
   p.add_argument("--mesh_shape", default=None, help="e.g. 1,2,4")
+  p.add_argument("--dcn_mesh_shape", default=None,
+                 help="multi-slice outer mesh, e.g. 2,1,1 (DCN axis; "
+                      "ref: hero/main.py:42-46)")
+  p.add_argument("--coordinator_address", default=None,
+                 help="host:port for jax.distributed multi-process runs")
+  p.add_argument("--num_processes", type=int, default=None)
+  p.add_argument("--process_id", type=int, default=None)
   p.add_argument("--train_steps", type=int, default=100)
   p.add_argument("--learning_rate", type=float, default=1e-3)
   p.add_argument("--optimizer", default="lion")
@@ -44,6 +51,10 @@ def parse_args(argv=None):
 
 def main(argv=None):
   args = parse_args(argv)
+  # must run before any jax backend use (multi-process runs only)
+  from automl_tpu.parallel import distributed
+  distributed.initialize(args.coordinator_address, args.num_processes,
+                         args.process_id)
   from automl_tpu.models import lm as lm_lib
   from automl_tpu.train import lm_trainer
 
@@ -67,9 +78,12 @@ def main(argv=None):
       eval_iter = PackedLMLoader.from_text_file(
           args.valid_file, args.batch_size, config.seq_len, tokenizer=tok,
           repeat=False)
+  dcn_mesh_shape = (tuple(int(x) for x in args.dcn_mesh_shape.split(","))
+                    if args.dcn_mesh_shape else None)
   logs = lm_trainer.run_lm(
       config, args.model_dir, args.train_steps, sharding=sharding,
-      mesh_shape=mesh_shape, data_iter=data_iter,
+      mesh_shape=mesh_shape, dcn_mesh_shape=dcn_mesh_shape,
+      data_iter=data_iter,
       learning_rate=args.learning_rate,
       lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
       eval_iter=eval_iter, eval_every=args.eval_every,

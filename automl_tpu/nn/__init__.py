@@ -4,4 +4,7 @@ from automl_tpu.nn.module import (  # noqa: F401
     trainable_mask, rng_scope, make_rng, has_rng,
 )
 from automl_tpu.nn.precision import Policy, DEFAULT_POLICY, get_policy, set_policy  # noqa: F401
+from automl_tpu.nn.quant import (  # noqa: F401
+    enable_qat, disable_qat, qat_enabled, qat_scope, fake_quant,
+)
 from automl_tpu.nn import layers  # noqa: F401

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from automl_tpu.nn import module as nn
+from automl_tpu.nn import quant
 from automl_tpu.nn.precision import get_policy
 
 # ---------------------------------------------------------------------------
@@ -118,7 +119,7 @@ class Conv2D(nn.Module):
 
   def apply(self, params, x):
     policy = get_policy()
-    kernel = policy.cast_to_compute(params["kernel"])
+    kernel = policy.cast_to_compute(quant.maybe_quant_kernel(params["kernel"]))
     x = policy.cast_to_compute(x)
     y = jax.lax.conv_general_dilated(
         x, kernel,
@@ -129,6 +130,7 @@ class Conv2D(nn.Module):
     )
     if self.use_bias:
       y = y + policy.cast_to_compute(params["bias"])
+    y = quant.maybe_quant_activation(y)
     return y
 
 
@@ -179,11 +181,12 @@ class Dense(nn.Module):
   def apply(self, params, x):
     policy = get_policy()
     y = jnp.dot(policy.cast_to_compute(x),
-                policy.cast_to_compute(params["kernel"]),
+                policy.cast_to_compute(
+                    quant.maybe_quant_kernel(params["kernel"])),
                 preferred_element_type=policy.compute_dtype)
     if self.use_bias:
       y = y + policy.cast_to_compute(params["bias"])
-    return y
+    return quant.maybe_quant_activation(y)
 
 
 class ConvTranspose2D(nn.Module):

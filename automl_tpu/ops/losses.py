@@ -46,7 +46,7 @@ def huber_loss(pred, target, delta: float):
 
 
 def detection_loss(cls_outputs, box_outputs, cls_targets, box_targets,
-                   num_positives, config, anchor_boxes=None):
+                   num_positives, config, anchor_boxes=None, normalizer=None):
   """Total detection loss on flat per-anchor arrays.
 
   Args:
@@ -58,13 +58,19 @@ def detection_loss(cls_outputs, box_outputs, cls_targets, box_targets,
     config: needs alpha, gamma, delta, box_loss_weight, iou_loss_type,
       iou_loss_weight, label_smoothing, num_classes.
     anchor_boxes: [A, 4], required when iou_loss_type is set.
+    normalizer: optional scalar overriding the per-batch positives sum — used
+      by the train step's positives-momentum moving average
+      (ref: det_model_fn.py:197-221 moving_normalizer_var).
 
   Returns:
     (total_loss, cls_loss, box_loss, box_iou_loss) scalars (f32).
   """
   # +1 avoids div-by-zero; mean over the global batch is the cross-replica
   # mean under GSPMD (ref: det_model_fn.py:222-230).
-  num_positives_sum = jnp.sum(num_positives.astype(jnp.float32)) + 1.0
+  if normalizer is None:
+    num_positives_sum = jnp.sum(num_positives.astype(jnp.float32)) + 1.0
+  else:
+    num_positives_sum = normalizer
 
   num_classes = config.num_classes
   positive = cls_targets >= 0

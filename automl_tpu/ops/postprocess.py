@@ -125,13 +125,13 @@ def _gather_outputs(boxes, classes, idx, out_scores, valid):
 
 def _nms_one(boxes, scores, classes, p, per_class: bool):
   if per_class:
-    span = jnp.maximum(jnp.max(boxes), 1.0) + 1.0
-    shifted = boxes + classes.astype(jnp.float32)[:, None] * span
+    idx, out_scores, valid = nms_lib.per_class_nms(
+        boxes, scores, classes, p["max_output_size"], p["iou_thresh"],
+        p["sigma"], p["score_thresh"])
   else:
-    shifted = boxes
-  idx, out_scores, valid = nms_lib.nms(
-      shifted, scores, p["max_output_size"], p["iou_thresh"], p["sigma"],
-      p["score_thresh"])
+    idx, out_scores, valid = nms_lib.nms(
+        boxes, scores, p["max_output_size"], p["iou_thresh"], p["sigma"],
+        p["score_thresh"])
   return _gather_outputs(boxes, classes, idx, out_scores, valid)
 
 

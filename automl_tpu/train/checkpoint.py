@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import Optional
+import time
+from typing import Iterator, Optional
 
 import orbax.checkpoint as ocp
 
@@ -48,6 +49,42 @@ class CheckpointManager:
 
   def close(self):
     self._mngr.close()
+
+
+def watch_checkpoints(directory: str, timeout_secs: float = 3600.0,
+                      poll_secs: float = 10.0,
+                      last_seen: Optional[int] = None) -> Iterator[int]:
+  """Yield new checkpoint steps as they appear in `directory`.
+
+  Continuous-eval analog of tf.train.checkpoints_iterator
+  (ref: efficientdet/main.py:303-327, efficientnetv2/main.py:388-423):
+  a --mode=eval job follows a concurrent trainer, evaluating each new
+  checkpoint; stops after `timeout_secs` with no new checkpoint. Deleted /
+  half-written checkpoints are the caller's problem (restore raises; skip
+  and continue), matching the reference's NotFoundError tolerance.
+  """
+  deadline = time.time() + timeout_secs
+  while time.time() < deadline:
+    steps = all_checkpoint_steps(directory)
+    fresh = [s for s in steps if last_seen is None or s > last_seen]
+    if fresh:
+      for s in fresh:
+        last_seen = s
+        yield s
+      deadline = time.time() + timeout_secs
+    else:
+      time.sleep(poll_secs)
+
+
+def all_checkpoint_steps(directory: str) -> list[int]:
+  """Sorted step numbers present on disk (orbax layout: <dir>/<step>/)."""
+  if not os.path.isdir(directory):
+    return []
+  steps = []
+  for name in os.listdir(directory):
+    if name.isdigit() and os.path.isdir(os.path.join(directory, name)):
+      steps.append(int(name))
+  return sorted(steps)
 
 
 def archive_ckpt(ckpt_dir: str, step: int, objective: float,

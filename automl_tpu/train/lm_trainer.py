@@ -113,7 +113,8 @@ def make_lm_eval_step(model: lm_lib.TransformerLM):
 
 def run_lm(config, model_dir: str, train_steps: int,
            sharding: Optional[lm_lib.ShardingConfig] = None,
-           mesh_shape=None, data_iter=None, log_every: int = 20,
+           mesh_shape=None, dcn_mesh_shape=None, data_iter=None,
+           log_every: int = 20,
            learning_rate: float = 1e-3, optimizer: str = "lion",
            lr_schedule: str = "cosine_decay", warmup_steps: int = 0,
            end_decay: float = 0.1, eval_iter=None, eval_every: int = 0,
@@ -131,7 +132,8 @@ def run_lm(config, model_dir: str, train_steps: int,
   os.makedirs(model_dir, exist_ok=True)
   config.save_to_yaml(os.path.join(model_dir, "experiment_config.yaml"))
 
-  mesh = create_mesh(mesh_shape) if mesh_shape else None
+  mesh = (create_mesh(mesh_shape, dcn_mesh_shape=dcn_mesh_shape)
+          if mesh_shape else None)
   sharding = sharding or (lm_lib.ShardingConfig() if mesh
                           else lm_lib.ShardingConfig.data_parallel())
   model = lm_lib.TransformerLM(config, sharding)
@@ -184,8 +186,18 @@ def run_lm(config, model_dir: str, train_steps: int,
       print(f"step {step} validation_loss {mean_loss:.4f}")
       return mean_loss
 
+    multiproc = jax.process_count() > 1
+    if multiproc:
+      # each process feeds its slice of the global batch; assemble one
+      # globally-sharded array (ref: hero/model_lib.py:2410-2423)
+      from automl_tpu.data.lm_pipeline import select_local_batch
+      from automl_tpu.parallel import build_global_batch
+
     while step < train_steps:
-      batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+      if multiproc:
+        batch = build_global_batch(select_local_batch(next(it)), mesh)
+      else:
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
       with jax.profiler.StepTraceAnnotation("train", step_num=step):
         state, logs = step_fn(state, batch)
       step += 1

@@ -68,6 +68,10 @@ def run_classification(config, model_dir: str, train_steps: int,
   config.save_to_yaml(os.path.join(model_dir, "config.yaml"))
   nn.set_policy("mixed_bfloat16" if config.runtime.mixed_precision
                 else "float32")
+  if config.train.get("qat"):
+    # train-time QAT: fake-quant weights/activations inside the jitted step
+    # (ref capability: efficientdet/tf2/tfmot.py:23)
+    nn.enable_qat(int(config.train.get("qat_bits", 8) or 8))
 
   model = build_model(config.model)
   params = jax.jit(model.init)(jax.random.key(seed))
@@ -184,6 +188,8 @@ def run_detection(config, model_dir: str, train_steps: int,
   os.makedirs(model_dir, exist_ok=True)
   config.save_to_yaml(os.path.join(model_dir, "config.yaml"))
   nn.set_policy("mixed_bfloat16" if config.mixed_precision else "float32")
+  if config.get("qat"):
+    nn.enable_qat(int(config.get("qat_bits", 8) or 8))
 
   model = EfficientDet(config)
   params = jax.jit(model.init)(jax.random.key(seed))
@@ -201,7 +207,8 @@ def run_detection(config, model_dir: str, train_steps: int,
           config.optimizer if config.optimizer != "sgd" else "momentum",
           lr_fn, momentum=config.momentum), params)
   state = train_lib.create_train_state(
-      params, tx, ema=bool(config.moving_average_decay))
+      params, tx, ema=bool(config.moving_average_decay),
+      moving_normalizer=(config.get("positives_momentum", 0.0) or 0.0) > 0)
 
   mesh = create_mesh(mesh_shape) if mesh_shape else None
   spatial = bool(mesh) and mesh.shape.get("model", 1) > 1
@@ -294,7 +301,9 @@ def run_detection(config, model_dir: str, train_steps: int,
       mngr.save(step, jax.device_get(state))
       eval_params = state.ema_params or state.params
       fresh = eval_iter() if callable(eval_iter) else eval_iter
-      em = evaluate_detection(model, eval_params, config, fresh, eval_steps)
+      em = evaluate_detection(model, eval_params, config, fresh, eval_steps,
+                              vis_dir=os.path.join(model_dir, "vis",
+                                                   f"step_{step}"))
       writer.write(step, {f"eval/{k}": v for k, v in em.items()})
       print(f"eval @ {step}: AP {em.get('AP', -1):.4f} "
             f"AP50 {em.get('AP50', -1):.4f}")
@@ -316,8 +325,14 @@ def run_detection(config, model_dir: str, train_steps: int,
 
 
 def evaluate_detection(model, params, config, eval_iter, eval_steps: int,
-                       per_class: bool = False) -> dict:
-  """COCO eval: device NMS -> host numpy COCOEvaluator."""
+                       per_class: bool = False, vis_dir: str | None = None,
+                       vis_samples: int = 2) -> dict:
+  """COCO eval: device NMS -> host numpy COCOEvaluator.
+
+  With vis_dir set, writes [detections | ground truth] side-by-side PNGs for
+  the first `vis_samples` images of the first eval batch — the
+  DisplayCallback / eval-image-summary analog (ref: tf2/train_lib.py:251-290,
+  visualize/vis_utils.py:506)."""
   from automl_tpu.eval.coco_metric import COCOEvaluator
   from automl_tpu.ops import postprocess
 
@@ -330,16 +345,52 @@ def evaluate_detection(model, params, config, eval_iter, eval_steps: int,
   evaluator = COCOEvaluator(per_class=per_class, label_map=None)
   mean = jnp.asarray(config.mean_rgb, jnp.float32)
   std = jnp.asarray(config.stddev_rgb, jnp.float32)
-  for _ in range(eval_steps):
+  for step in range(eval_steps):
     batch = next(eval_iter)
     images = (jnp.asarray(batch["image"], jnp.float32) - mean) / std
-    dets, valid = predict(params, images,
-                          jnp.asarray(batch.get("image_scale", 1.0)),
-                          jnp.asarray(batch.get("source_id", 0.0)))
+    b = images.shape[0]
+    scales = jnp.broadcast_to(
+        jnp.asarray(batch.get("image_scale", 1.0), jnp.float32).reshape(-1),
+        (b,))
+    if "source_id" in batch:
+      ids = jnp.broadcast_to(
+          jnp.asarray(batch["source_id"], jnp.float32).reshape(-1), (b,))
+    else:  # synthetic loaders: synthesize unique per-image ids
+      ids = jnp.arange(step * b, (step + 1) * b, dtype=jnp.float32)
+    dets, valid = predict(params, images, scales, ids)
     # gt boxes are canvas coords; rescale to source coords like detections
     scale = np.asarray(batch.get("image_scale", 1.0)).reshape(-1, 1, 1)
     evaluator.add_batch_from_detections(
         np.asarray(dets), np.asarray(valid),
         np.asarray(batch["gt_boxes"]) * scale,
         np.asarray(batch["gt_classes"]))
+    if vis_dir and step == 0:
+      _write_eval_images(batch, np.asarray(dets), np.asarray(valid),
+                         vis_dir, vis_samples)
   return evaluator.compute()
+
+
+def _write_eval_images(batch, dets, valid, vis_dir: str, n: int) -> None:
+  """Dump side-by-side [detections | GT] PNGs (canvas coordinates)."""
+  from automl_tpu.inference import visualize
+  os.makedirs(vis_dir, exist_ok=True)
+  images = np.asarray(batch["image"])
+  if images.dtype != np.uint8:
+    images = np.clip(images, 0, 255).astype(np.uint8)
+  scales = np.broadcast_to(
+      np.asarray(batch.get("image_scale", 1.0), np.float32).reshape(-1),
+      (images.shape[0],))
+  for i in range(min(n, images.shape[0])):
+    k = int(valid[i])
+    # detections are [id, ymin, xmin, ymax, xmax, score, class] in source
+    # coords; undo image_scale back to canvas coords for drawing.
+    s = float(scales[i])
+    panel = visualize.side_by_side_evaluation_image(
+        images[i],
+        np.asarray(batch["gt_boxes"])[i],
+        np.asarray(batch["gt_classes"])[i],
+        dets[i, :k, 1:5] / max(s, 1e-8),
+        dets[i, :k, 6].astype(np.int32),
+        dets[i, :k, 5])
+    visualize.save_image_array_as_png(
+        panel, os.path.join(vis_dir, f"eval_image_{i}.png"))

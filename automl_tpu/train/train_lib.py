@@ -33,14 +33,19 @@ class TrainState(NamedTuple):
   params: Any
   opt_state: Any
   ema_params: Optional[Any] = None
+  # Moving average of the focal-loss positives normalizer; active when
+  # config.positives_momentum > 0 (ref: det_model_fn.py:197-221).
+  normalizer: Optional[jnp.ndarray] = None
 
 
-def create_train_state(params, tx, ema: bool = True) -> TrainState:
+def create_train_state(params, tx, ema: bool = True,
+                       moving_normalizer: bool = False) -> TrainState:
   return TrainState(
       step=jnp.zeros((), jnp.int32),
       params=params,
       opt_state=tx.init(params),
       ema_params=opt_lib.ema_init(params) if ema else None,
+      normalizer=jnp.ones((), jnp.float32) if moving_normalizer else None,
   )
 
 
@@ -107,7 +112,8 @@ def make_cls_train_step(model, tx, config, preprocess_fn=None):
         "top1": jnp.mean((jnp.argmax(logits, -1)
                           == jnp.argmax(batch["label"], -1)).astype(jnp.float32)),
     }
-    return TrainState(state.step + 1, params, opt_state, ema_params), metrics
+    return TrainState(state.step + 1, params, opt_state, ema_params,
+                      state.normalizer), metrics
 
   return train_step
 
@@ -147,6 +153,7 @@ def make_det_train_step(model, tx, config, preprocess_fn=None):
   ema_decay = config.get("moving_average_decay", 0.0)
   freeze_pat = (re.compile(config.var_freeze_expr)
                 if config.get("var_freeze_expr") else None)
+  pos_momentum = config.get("positives_momentum", 0.0) or 0.0
 
   def train_step(state: TrainState, batch, rng):
     step_rng = jax.random.fold_in(rng, state.step)
@@ -154,6 +161,21 @@ def make_det_train_step(model, tx, config, preprocess_fn=None):
       batch = preprocess_fn(batch, jax.random.fold_in(step_rng, 1))
     cls_t, box_t, num_pos = labeler.label_anchors(
         batch["gt_boxes"], batch["gt_classes"])
+
+    # Global-batch positives sum (== cross-replica mean under GSPMD), with an
+    # optional momentum-smoothed moving normalizer (det_model_fn.py:197-221).
+    num_pos_sum = jnp.sum(num_pos.astype(jnp.float32)) + 1.0
+    moving_normalizer = state.normalizer
+    if pos_momentum > 0:
+      if moving_normalizer is None:
+        raise ValueError(
+            "positives_momentum > 0 needs create_train_state("
+            "moving_normalizer=True)")
+      moving_normalizer = (pos_momentum * moving_normalizer
+                           + (1.0 - pos_momentum) * num_pos_sum)
+      normalizer = moving_normalizer
+    else:
+      normalizer = num_pos_sum
 
     def loss_fn(params):
       with nn.rng_scope(step_rng):
@@ -163,7 +185,7 @@ def make_det_train_step(model, tx, config, preprocess_fn=None):
       box_flat = flatten_predictions(box_outputs, 4)
       det_loss, cls_loss, box_loss, iou_loss = losses_lib.detection_loss(
           cls_flat, box_flat, cls_t, box_t, num_pos, config,
-          anchor_boxes=anchors.boxes)
+          anchor_boxes=anchors.boxes, normalizer=normalizer)
       l2 = losses_lib.l2_regularization(params, weight_decay)
       total = det_loss + l2
       return total, (bn_updates, det_loss, cls_loss, box_loss, iou_loss, l2)
@@ -186,7 +208,8 @@ def make_det_train_step(model, tx, config, preprocess_fn=None):
         "gnorm": optax.global_norm(grads),
         "num_positives": jnp.mean(num_pos),
     }
-    return TrainState(state.step + 1, params, opt_state, ema_params), metrics
+    return TrainState(state.step + 1, params, opt_state, ema_params,
+                      moving_normalizer), metrics
 
   return train_step
 

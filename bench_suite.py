@@ -1,0 +1,181 @@
+"""Benchmark suite: device-busy timings for the BASELINE.json config list.
+
+Prints one JSON line per workload (bench.py stays the driver's single-line
+D0-inference contract):
+  d0_train        EfficientDet-D0 512^2 b16 full train step (BASELINE north star)
+  effnetv2s_train EfficientNetV2-S 300^2 b32 train step (BASELINE config #3)
+  d4_train        EfficientDet-D4 1024^2 b4 train step (BASELINE config #4)
+  d7x_infer       EfficientDet-D7x 1536^2 b1 infer + postprocess (config #5)
+  d7x_lion_train  EfficientDet-D7x 1536^2 b1 Lion train step (config #5)
+
+Usage: python bench_suite.py [workload ...]   (default: all)
+Timings are device-busy via profiler timestamps (the chip sits behind a
+shared tunnel; wall clock is unreliable — see bench.py docstring).
+"""
+
+import json
+import sys
+import tempfile
+
+import jax
+import jax.numpy as jnp
+
+from bench import device_busy_ms_per_call
+
+PROFILED_CALLS = 6
+
+
+def _det_train_step(model_name: str, batch: int, overrides=None):
+  from automl_tpu import nn
+  from automl_tpu.configs.efficientdet_configs import get_efficientdet_config
+  from automl_tpu.models.efficientdet import EfficientDet
+  from automl_tpu.train import optimizers as opt_lib
+  from automl_tpu.train import train_lib
+
+  nn.set_policy("mixed_bfloat16")
+  cfg = get_efficientdet_config(model_name)
+  if overrides:
+    cfg.override(overrides)
+  model = EfficientDet(cfg)
+  params = jax.jit(model.init)(jax.random.key(0))
+  tx = opt_lib.masked_for_params(
+      opt_lib.build_optimizer(
+          cfg.optimizer if cfg.optimizer != "sgd" else "momentum", 1e-3,
+          momentum=cfg.momentum), params)
+  state = train_lib.create_train_state(params, tx)
+  step_fn = jax.jit(train_lib.make_det_train_step(model, tx, cfg))
+
+  from automl_tpu.utils import parse_image_size
+  size = parse_image_size(cfg.image_size)[0]
+  g = cfg.max_instances_per_image
+
+  def make_batch(i):
+    key = jax.random.key(i)
+    boxes = jnp.tile(jnp.asarray([[10.0, 10.0, size * 0.4, size * 0.4],
+                                  [size * 0.3] * 4]), (batch, g // 2, 1))[:, :g]
+    classes = jnp.tile(jnp.asarray([1, 2], jnp.int32), (batch, g // 2))[:, :g]
+    return {"image": jax.random.normal(key, (batch, size, size, 3)),
+            "gt_boxes": boxes, "gt_classes": classes}
+
+  rng = jax.random.key(7)
+  # one warmup compile + distinct batches for the profiled calls
+  state, _ = step_fn(state, make_batch(0), rng)
+  jax.block_until_ready(state.params)
+  args = []
+  for i in range(PROFILED_CALLS):
+    args.append((state, make_batch(i + 1), rng))
+  return (lambda s, b, r: step_fn(s, b, r)[1]["loss"]), args
+
+
+def bench_d0_train():
+  fn, args = _det_train_step("efficientdet-d0", 16)
+  with tempfile.TemporaryDirectory() as d:
+    ms = device_busy_ms_per_call(fn, args, d)
+  return {"metric": "d0_train_img_per_s", "value": round(16 / ms * 1000, 1),
+          "unit": "img/s", "ms_per_step": round(ms, 2), "batch": 16}
+
+
+def bench_d4_train():
+  fn, args = _det_train_step("efficientdet-d4", 4)
+  with tempfile.TemporaryDirectory() as d:
+    ms = device_busy_ms_per_call(fn, args, d)
+  return {"metric": "d4_train_img_per_s", "value": round(4 / ms * 1000, 1),
+          "unit": "img/s", "ms_per_step": round(ms, 2), "batch": 4}
+
+
+def bench_effnetv2s_train():
+  from automl_tpu import nn
+  from automl_tpu.configs.effnet_configs import get_model_config
+  from automl_tpu.models import build_model
+  from automl_tpu.train import optimizers as opt_lib
+  from automl_tpu.train import train_lib
+
+  nn.set_policy("mixed_bfloat16")
+  cfg = get_model_config("efficientnetv2-s")
+  batch, size = 32, 300  # published train_size for v2-s (effnetv2_configs.py)
+  model = build_model(cfg.model)
+  params = jax.jit(model.init)(jax.random.key(0))
+  tx = opt_lib.masked_for_params(
+      opt_lib.build_optimizer("rmsprop", 1e-3), params)
+  state = train_lib.create_train_state(params, tx)
+  step_fn = jax.jit(train_lib.make_cls_train_step(model, tx, cfg))
+
+  def make_batch(i):
+    return {"image": jax.random.normal(jax.random.key(i), (batch, size, size, 3)),
+            "label": jax.nn.one_hot(jnp.arange(batch) % cfg.model.num_classes,
+                                    cfg.model.num_classes)}
+
+  rng = jax.random.key(7)
+  state, _ = step_fn(state, make_batch(0), rng)
+  jax.block_until_ready(state.params)
+  args = [(state, make_batch(i + 1), rng) for i in range(PROFILED_CALLS)]
+  with tempfile.TemporaryDirectory() as d:
+    ms = device_busy_ms_per_call(
+        lambda s, b, r: step_fn(s, b, r)[1]["loss"], args, d)
+  return {"metric": "effnetv2s_train_img_per_s",
+          "value": round(batch / ms * 1000, 1), "unit": "img/s",
+          "ms_per_step": round(ms, 2), "batch": batch, "image_size": size}
+
+
+def bench_d7x_infer():
+  from automl_tpu import nn
+  from automl_tpu.models.efficientdet import build_detection_model
+  from automl_tpu.ops import postprocess
+
+  nn.set_policy("mixed_bfloat16")
+  model = build_detection_model("efficientdet-d7x")
+  params = jax.jit(model.init)(jax.random.key(0))
+
+  @jax.jit
+  def infer(params, images):
+    cls_out, box_out = model(params, images, train=False)
+    return postprocess.postprocess_global(model.config, cls_out, box_out)
+
+  def img(i):
+    return jax.random.normal(jax.random.key(i), (1, 1536, 1536, 3))
+
+  out = infer(params, img(0))
+  jax.block_until_ready(out)
+  args = [(params, img(i + 1)) for i in range(PROFILED_CALLS)]
+  with tempfile.TemporaryDirectory() as d:
+    ms = device_busy_ms_per_call(infer, args, d)
+  return {"metric": "d7x_infer_latency_b1", "value": round(ms, 2),
+          "unit": "ms", "fps": round(1000 / ms, 2),
+          "vs_baseline_v100_ms": 153}
+
+
+def bench_d7x_lion_train():
+  fn, args = _det_train_step("efficientdet-d7x", 1,
+                             overrides=dict(optimizer="lion",
+                                            grad_checkpoint=True))
+  with tempfile.TemporaryDirectory() as d:
+    ms = device_busy_ms_per_call(fn, args, d)
+  return {"metric": "d7x_lion_train_img_per_s",
+          "value": round(1 / ms * 1000, 2), "unit": "img/s",
+          "ms_per_step": round(ms, 2), "batch": 1}
+
+
+WORKLOADS = {
+    "d0_train": bench_d0_train,
+    "effnetv2s_train": bench_effnetv2s_train,
+    "d4_train": bench_d4_train,
+    "d7x_infer": bench_d7x_infer,
+    "d7x_lion_train": bench_d7x_lion_train,
+}
+
+
+def main(names=None):
+  names = names or list(WORKLOADS)
+  results = []
+  for name in names:
+    try:
+      r = WORKLOADS[name]()
+    except Exception as e:  # keep going; report the failure
+      r = {"metric": name, "error": f"{type(e).__name__}: {e}"}
+    results.append(r)
+    print(json.dumps(r), flush=True)
+  return results
+
+
+if __name__ == "__main__":
+  main(sys.argv[1:] or None)

@@ -2,6 +2,7 @@
 one real train step / serve through each entry point."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -77,3 +78,23 @@ def test_tflite_export_and_invoke(tmp_path):
   outs = [interp.get_tensor(o["index"]) for o in interp.get_output_details()]
   shapes = sorted(tuple(o.shape) for o in outs)
   assert shapes == [(1, 774), (1, 774), (1, 774, 4)]
+
+
+def test_watch_checkpoints_yields_new_steps_then_times_out(tmp_path):
+  """Continuous-eval watcher (ref: efficientdet/main.py:303-327)."""
+  import threading
+  import time
+  from automl_tpu.train.checkpoint import watch_checkpoints
+
+  d = str(tmp_path / "ckpt")
+  os.makedirs(f"{d}/5")
+
+  def add_later():
+    time.sleep(0.3)
+    os.makedirs(f"{d}/10")
+
+  t = threading.Thread(target=add_later)
+  t.start()
+  seen = list(watch_checkpoints(d, timeout_secs=1.0, poll_secs=0.1))
+  t.join()
+  assert seen == [5, 10], seen

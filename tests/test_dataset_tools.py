@@ -77,3 +77,25 @@ def test_converter_native_reader_roundtrip(mini_coco):
   canvas, (ch, cw) = native_loader.jpeg_decode_to_canvas(
       ex["image/encoded"][0], 64, 64)
   assert (ch, cw) == (51, 64)  # 80x100 -> x0.64 aspect-preserved
+
+
+def test_inspect_tfrecords_tool(mini_coco):
+  """Inspector CLI: stats + annotated sample PNGs
+  (ref: efficientdet/dataset/inspect_tfrecords.py:44)."""
+  img_dir, ann_file, tmp_path = mini_coco
+  from automl_tpu.cli import create_coco_tfrecord, inspect_tfrecords
+  create_coco_tfrecord.main([
+      f"--image_dir={img_dir}",
+      f"--object_annotations_file={ann_file}",
+      f"--output_file_prefix={tmp_path}/insp/val",
+      "--num_shards=1"])
+  samples = str(tmp_path / "samples")
+  stats = inspect_tfrecords.main([
+      f"--file_pattern={tmp_path}/insp/val-*.tfrecord",
+      "--num_samples=3", f"--save_samples_dir={samples}",
+      "--canvas_size=64", "--eval"])
+  assert stats["records_scanned"] == 3
+  assert stats["boxes_per_image_mean"] == 1.0
+  assert set(stats["class_histogram"]) == {1, 2}
+  assert sorted(os.listdir(samples)) == [
+      "record_0.png", "record_1.png", "record_2.png"]

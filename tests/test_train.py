@@ -158,3 +158,36 @@ def test_cls_train_step_sharded_on_mesh():
     assert jnp.isfinite(metrics["loss"])
   finally:
     nn.set_policy("mixed_bfloat16")
+
+
+def test_det_train_step_positives_momentum():
+  """positives_momentum > 0 keeps a moving normalizer in the train state
+  (ref: det_model_fn.py:197-221 moving_normalizer_var)."""
+  nn.set_policy("float32")
+  try:
+    from automl_tpu.configs.efficientdet_configs import get_efficientdet_config
+    from automl_tpu.models.efficientdet import EfficientDet
+    cfg = get_efficientdet_config("efficientdet-test")
+    cfg.override(dict(positives_momentum=0.9))
+    model = EfficientDet(cfg)
+    params = jax.jit(model.init)(jax.random.key(0))
+    tx = opt_lib.masked_for_params(
+        opt_lib.build_optimizer("momentum", 1e-3), params)
+    state = train_lib.create_train_state(params, tx, moving_normalizer=True)
+    assert float(state.normalizer) == 1.0
+    step_fn = jax.jit(train_lib.make_det_train_step(model, tx, cfg))
+    batch = {
+        "image": jax.random.normal(jax.random.key(1), (2, 64, 64, 3)),
+        "gt_boxes": jnp.array([[[4.0, 4.0, 40.0, 40.0]]] * 2),
+        "gt_classes": jnp.array([[1]] * 2),
+    }
+    state, m = step_fn(state, batch, jax.random.key(2))
+    pos_sum = float(m["num_positives"]) * 2 + 1.0
+    np.testing.assert_allclose(
+        float(state.normalizer), 0.9 * 1.0 + 0.1 * pos_sum, rtol=1e-5)
+    prev = float(state.normalizer)
+    state, m = step_fn(state, batch, jax.random.key(2))
+    np.testing.assert_allclose(
+        float(state.normalizer), 0.9 * prev + 0.1 * pos_sum, rtol=1e-5)
+  finally:
+    nn.set_policy("mixed_bfloat16")

@@ -14,6 +14,10 @@ import argparse
 def parse_args(argv=None):
   p = argparse.ArgumentParser(description=__doc__)
   p.add_argument("--model_dir", required=True)
+  p.add_argument("--config_name", default="",
+                 help="named experiment config (lm-flops2e17/1e18/1e19, "
+                      "lm-test — the hero Chinchilla C4 scaling ladder, "
+                      "ref: hero/config_lib.py:234-349)")
   p.add_argument("--experiment_config", default="",
                  help="override string onto lm_defaults()")
   p.add_argument("--sharding_config", default="gspmd",
@@ -26,9 +30,10 @@ def parse_args(argv=None):
                  help="host:port for jax.distributed multi-process runs")
   p.add_argument("--num_processes", type=int, default=None)
   p.add_argument("--process_id", type=int, default=None)
-  p.add_argument("--train_steps", type=int, default=100)
-  p.add_argument("--learning_rate", type=float, default=1e-3)
-  p.add_argument("--optimizer", default="lion")
+  p.add_argument("--train_steps", type=int, default=None,
+                 help="default: config.num_train_steps")
+  p.add_argument("--learning_rate", type=float, default=None)
+  p.add_argument("--optimizer", default=None)
   p.add_argument("--train_file", default=None,
                  help="text file of documents (blank-line separated); "
                       "default: synthetic copy-task data")
@@ -36,15 +41,15 @@ def parse_args(argv=None):
                  help="held-out text file for periodic validation")
   p.add_argument("--tokenizer", default="byte",
                  help="'byte' or a path to a SentencePiece .model blob")
-  p.add_argument("--lr_schedule", default="cosine_decay",
-                 choices=["cosine_decay", "constant"])
-  p.add_argument("--warmup_steps", type=int, default=0,
+  p.add_argument("--lr_schedule", default=None,
+                 choices=[None, "cosine_decay", "constant"])
+  p.add_argument("--warmup_steps", type=int, default=None,
                  help="0 = auto (min(1000, steps/10))")
-  p.add_argument("--eval_every", type=int, default=0,
+  p.add_argument("--eval_every", type=int, default=None,
                  help="validation interval in steps (0 = off)")
-  p.add_argument("--eval_steps", type=int, default=8)
+  p.add_argument("--eval_steps", type=int, default=None)
   p.add_argument("--ckpt_every", type=int, default=0)
-  p.add_argument("--batch_size", type=int, default=8)
+  p.add_argument("--batch_size", type=int, default=None)
   p.add_argument("--seed", type=int, default=0)
   return p.parse_args(argv)
 
@@ -58,8 +63,20 @@ def main(argv=None):
   from automl_tpu.models import lm as lm_lib
   from automl_tpu.train import lm_trainer
 
-  config = lm_lib.lm_defaults()
+  config = lm_lib.get_lm_config(args.config_name)
   config.override(args.experiment_config)
+  # CLI flags (when given) take precedence over the named config's values.
+  for flag, key in [("train_steps", "num_train_steps"),
+                    ("learning_rate", "learning_rate"),
+                    ("optimizer", "optimizer"),
+                    ("lr_schedule", "lr_schedule"),
+                    ("warmup_steps", "warmup_steps"),
+                    ("eval_every", "eval_every"),
+                    ("eval_steps", "eval_steps"),
+                    ("batch_size", "batch_size")]:
+    v = getattr(args, flag)
+    if v is not None:
+      config[key] = v
   sharding = (lm_lib.ShardingConfig() if args.sharding_config == "gspmd"
               else lm_lib.ShardingConfig.data_parallel())
   mesh_shape = (tuple(int(x) for x in args.mesh_shape.split(","))
@@ -73,22 +90,22 @@ def main(argv=None):
            else SentencePieceModel(args.tokenizer))
     config.vocab_size = max(config.vocab_size, tok.vocab_size)
     data_iter = iter(PackedLMLoader.from_text_file(
-        args.train_file, args.batch_size, config.seq_len, tokenizer=tok))
+        args.train_file, config.batch_size, config.seq_len, tokenizer=tok))
     if args.valid_file:
       eval_iter = PackedLMLoader.from_text_file(
-          args.valid_file, args.batch_size, config.seq_len, tokenizer=tok,
+          args.valid_file, config.batch_size, config.seq_len, tokenizer=tok,
           repeat=False)
   dcn_mesh_shape = (tuple(int(x) for x in args.dcn_mesh_shape.split(","))
                     if args.dcn_mesh_shape else None)
   logs = lm_trainer.run_lm(
-      config, args.model_dir, args.train_steps, sharding=sharding,
+      config, args.model_dir, config.num_train_steps, sharding=sharding,
       mesh_shape=mesh_shape, dcn_mesh_shape=dcn_mesh_shape,
       data_iter=data_iter,
-      learning_rate=args.learning_rate,
-      lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
-      eval_iter=eval_iter, eval_every=args.eval_every,
-      eval_steps=args.eval_steps, ckpt_every=args.ckpt_every,
-      optimizer=args.optimizer, seed=args.seed)
+      learning_rate=config.learning_rate,
+      lr_schedule=config.lr_schedule, warmup_steps=config.warmup_steps,
+      eval_iter=eval_iter, eval_every=config.eval_every,
+      eval_steps=config.eval_steps, ckpt_every=args.ckpt_every,
+      optimizer=config.optimizer, seed=args.seed)
   print({k: round(v, 4) for k, v in logs.items()})
   return logs
 

@@ -70,6 +70,61 @@ def lm_defaults() -> Config:
   ))
 
 
+def lm_experiment_configs() -> dict:
+  """Named LM experiment configs, incl. the Chinchilla-style C4 scaling ladder.
+
+  Reproduces hero/config_lib.py:234-349 (Flops2e17/1e18/1e19 C4 runs at the
+  fitted compute-optimal token ratios, exact dims/steps/batch preserved) plus
+  a tiny test config (config_lib.py:351 TransformerLMTest analog). Training
+  hyperparameters (batch_size, num_train_steps, lr schedule, validation
+  cadence) ride in the same Config and are consumed by the CLI/runner.
+  """
+  common = dict(
+      n_heads=8, expand_factor=8, vocab_size=100_864, seq_len=2048,
+      n_layers=8, use_gated_ffn=True, tie_embeddings=True,
+      # training params (hero lr_schedule_config: lr 3e-3, end_decay 0.1)
+      optimizer="lion", learning_rate=3e-3, weight_decay=1e-1,
+      lr_schedule="cosine_decay", end_decay=0.1, warmup_steps=0,
+      eval_every=500,
+  )
+  return {
+      # 40.6M params, 678M tokens (ratio 16.69), 2588 steps @ b128
+      "lm-flops2e17": dict(common, model_dim=256, head_dim=32,
+                           n_kv_heads=8, batch_size=128,
+                           num_train_steps=2588, eval_steps=16),
+      # 110.6M params, 1.9B tokens (ratio 17.2), 3626 steps @ b256
+      "lm-flops1e18": dict(common, model_dim=512, head_dim=64,
+                           n_kv_heads=8, batch_size=256,
+                           num_train_steps=3626, eval_steps=8),
+      # 338.4M params, 6.1B tokens (ratio 17.97), 5800 steps @ b512
+      "lm-flops1e19": dict(common, model_dim=1024, head_dim=128,
+                           n_kv_heads=8, batch_size=512,
+                           num_train_steps=5800, eval_steps=4,
+                           warmup_steps=1000),
+      "lm-test": dict(common, model_dim=32, head_dim=8, n_heads=4,
+                      n_kv_heads=4, n_layers=2, expand_factor=4,
+                      vocab_size=384, seq_len=64, batch_size=4,
+                      num_train_steps=8, eval_steps=2, eval_every=0),
+  }
+
+
+def get_lm_config(name: str = "") -> Config:
+  """lm_defaults() overlaid with a named experiment config (if given)."""
+  cfg = lm_defaults()
+  # train-loop keys the base defaults don't carry
+  cfg.update(dict(optimizer="lion", learning_rate=1e-3, weight_decay=1e-1,
+                  lr_schedule="cosine_decay", end_decay=0.1, warmup_steps=0,
+                  batch_size=8, num_train_steps=100, eval_every=0,
+                  eval_steps=8))
+  if name:
+    named = lm_experiment_configs()
+    if name not in named:
+      raise ValueError(f"unknown LM config {name!r}; "
+                       f"have {sorted(named)}")
+    cfg.update(named[name])
+  return cfg
+
+
 @dataclasses.dataclass(frozen=True)
 class ShardingConfig:
   """PartitionSpecs over mesh axes ('replica', 'data', 'model').

@@ -34,8 +34,15 @@ class LMTrainState(NamedTuple):
 def make_lm_train_step(model: lm_lib.TransformerLM, tx,
                        grad_clip_norm: float = 1.0,
                        update_clip_rms: float = 0.0,
-                       weight_decay: float = 0.0):
-  """-> step(state, batch{'tokens' [B,T+1], 'loss_weights' opt}) -> (state, logs)."""
+                       weight_decay: float = 0.0,
+                       lr_fn=None):
+  """-> step(state, batch{'tokens' [B,T+1], 'loss_weights' opt}) -> (state, logs).
+
+  Decoupled weight decay is lr-scaled as in the reference
+  (hero/model_lib.py:1396-1400: params -= lr * (update + wd * params));
+  pass lr_fn (step -> lr) so the decay follows the schedule. Without lr_fn
+  the raw wd coefficient is applied (caller pre-scales).
+  """
 
   def train_step(state: LMTrainState, batch):
     tokens = batch["tokens"]
@@ -63,8 +70,9 @@ def make_lm_train_step(model: lm_lib.TransformerLM, tx,
         return u * jnp.minimum(1.0, update_clip_rms / rms)
       updates = jax.tree_util.tree_map(clip_rms, updates)
     if weight_decay:
+      wd = weight_decay * (lr_fn(state.step) if lr_fn is not None else 1.0)
       updates = jax.tree_util.tree_map(
-          lambda u, p: u - weight_decay * p, updates, state.params)
+          lambda u, p: u - wd * p, updates, state.params)
     params = optax.apply_updates(state.params, updates)
     logs = {"loss": loss, "gnorm": gnorm,
             "unorm": optax.global_norm(updates)}
@@ -157,12 +165,15 @@ def run_lm(config, model_dir: str, train_steps: int,
     restored = mngr.restore(state)
     if restored is not None:
       state = restored
-    step_fn = jax.jit(make_lm_train_step(model, tx))
+    step_fn = jax.jit(make_lm_train_step(
+        model, tx, weight_decay=config.get("weight_decay", 0.0),
+        lr_fn=lr_fn))
     eval_fn = jax.jit(make_lm_eval_step(model))
     writer = MetricsWriter(model_dir)
 
     it = data_iter if data_iter is not None else iter(
-        SyntheticLMData(8, config.seq_len, config.vocab_size))
+        SyntheticLMData(config.get("batch_size", 8), config.seq_len,
+                        config.vocab_size))
     logs = {}
     t0 = time.perf_counter()
     prev_t = t0

@@ -409,3 +409,34 @@ def test_chat_loss_mask_matches_reference_scan():
   out = add_chat_loss_mask(batch, 10, 11)
   np.testing.assert_array_equal(out["loss_weights"],
                                 oracle(toks, 10, 11))
+
+
+def test_lm_experiment_config_registry():
+  """Chinchilla C4 scaling ladder (ref: hero/config_lib.py:234-349): named
+  configs resolve, dims/steps match the reference tables, and the scaling
+  calculator reproduces the documented embedding-params split exactly."""
+  from automl_tpu.models.lm import get_lm_config, lm_experiment_configs, scaling_summary
+
+  names = set(lm_experiment_configs())
+  assert {"lm-flops2e17", "lm-flops1e18", "lm-flops1e19",
+          "lm-test"} <= names
+
+  c17 = get_lm_config("lm-flops2e17")
+  assert (c17.model_dim, c17.head_dim, c17.batch_size,
+          c17.num_train_steps) == (256, 32, 128, 2588)
+  s = scaling_summary(c17)
+  # reference-documented: num_embedding_params 25.821184M (vocab 100864 * 256)
+  assert s["embed_params"] == 25_821_184
+  assert abs(s["params"] - 40_645_632) / 40_645_632 < 0.005  # matmul params
+
+  c19 = get_lm_config("lm-flops1e19")
+  assert (c19.model_dim, c19.batch_size, c19.num_train_steps,
+          c19.warmup_steps) == (1024, 512, 5800, 1000)
+
+  import pytest
+  with pytest.raises(ValueError):
+    get_lm_config("lm-nope")
+
+  # the tiny config trains end-to-end through the CLI path
+  tiny = get_lm_config("lm-test")
+  assert tiny.num_train_steps == 8 and tiny.vocab_size == 384

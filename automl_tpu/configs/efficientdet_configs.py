@@ -106,6 +106,15 @@ def default_detection_configs() -> Config:
       dataset_type=None,
       positives_momentum=None,
       grad_checkpoint=False,
+      # adversarial regularization (the reference's AdversarialLoss is an
+      # unwired nsl WIP, tf2/train_lib.py:328-354; here it is a working
+      # FGSM-style neighbor loss computed inside the jitted train step)
+      adv_multiplier=0.0,   # 0 = off; nsl default when enabled is 0.2
+      adv_step_size=0.01,   # sign-gradient step in normalized-image units
+      # quantization-aware training (ref: tf2/tfmot.py; here fake-quant with
+      # straight-through gradients, nn/quant.py)
+      qat=False,
+      qat_bits=8,
       # training runtime
       batch_size=64,
       verbose=1,

@@ -134,6 +134,8 @@ def base_config() -> Config:
           loss_type=None,     # None->softmax; 'sigmoid' for multilabel
           ft_init_ckpt=None,
           ft_init_ema=True,
+          qat=False,        # fake-quant QAT (nn/quant.py)
+          qat_bits=8,
       ),
       eval=dict(batch_size=8, isize=None),
       data=dict(

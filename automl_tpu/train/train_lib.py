@@ -154,6 +154,8 @@ def make_det_train_step(model, tx, config, preprocess_fn=None):
   freeze_pat = (re.compile(config.var_freeze_expr)
                 if config.get("var_freeze_expr") else None)
   pos_momentum = config.get("positives_momentum", 0.0) or 0.0
+  adv_mult = config.get("adv_multiplier", 0.0) or 0.0
+  adv_step = config.get("adv_step_size", 0.01)
 
   def train_step(state: TrainState, batch, rng):
     step_rng = jax.random.fold_in(rng, state.step)
@@ -177,15 +179,34 @@ def make_det_train_step(model, tx, config, preprocess_fn=None):
     else:
       normalizer = num_pos_sum
 
-    def loss_fn(params):
-      with nn.rng_scope(step_rng):
+    def det_loss_on(params, images, rng):
+      """Detection loss (+aux) on a given image batch."""
+      with nn.rng_scope(rng):
         (cls_outputs, box_outputs), bn_updates = nn.run_and_collect_state(
-            lambda: model(params, batch["image"], train=True))
+            lambda: model(params, images, train=True))
       cls_flat = flatten_predictions(cls_outputs, num_classes)
       box_flat = flatten_predictions(box_outputs, 4)
       det_loss, cls_loss, box_loss, iou_loss = losses_lib.detection_loss(
           cls_flat, box_flat, cls_t, box_t, num_pos, config,
           anchor_boxes=anchors.boxes, normalizer=normalizer)
+      return det_loss, (bn_updates, cls_loss, box_loss, iou_loss)
+
+    def loss_fn(params):
+      det_loss, (bn_updates, cls_loss, box_loss, iou_loss) = det_loss_on(
+          params, batch["image"], step_rng)
+      if adv_mult > 0:
+        # FGSM neighbor loss, fully on-device (working analog of the
+        # reference's unwired nsl AdversarialLoss, tf2/train_lib.py:328-354):
+        # perturb along sign(d loss / d image), re-evaluate, mix in.
+        # stop_gradient: standard adversarial training differentiates only
+        # the direct params path, not through the attack itself.
+        img_grad = jax.grad(
+            lambda im: det_loss_on(params, im, step_rng)[0])(batch["image"])
+        adv_images = jax.lax.stop_gradient(
+            batch["image"] + adv_step * jnp.sign(img_grad))
+        adv_loss, _ = det_loss_on(params, adv_images,
+                                  jax.random.fold_in(step_rng, 2))
+        det_loss = det_loss + adv_mult * adv_loss
       l2 = losses_lib.l2_regularization(params, weight_decay)
       total = det_loss + l2
       return total, (bn_updates, det_loss, cls_loss, box_loss, iou_loss, l2)

@@ -7,6 +7,8 @@ D0-inference contract):
   d4_train        EfficientDet-D4 1024^2 b4 train step (BASELINE config #4)
   d7x_infer       EfficientDet-D7x 1536^2 b1 infer + postprocess (config #5)
   d7x_lion_train  EfficientDet-D7x 1536^2 b1 Lion train step (config #5)
+  lm_train        234M LM train step b8 T2048 Lion (Pallas flash fwd/bwd)
+  lm_decode       234M LM KV-cache generation b8 (prefill 128 + 896 tokens)
 
 Usage: python bench_suite.py [workload ...]   (default: all)
 Timings are device-busy via profiler timestamps (the chip sits behind a
@@ -155,12 +157,78 @@ def bench_d7x_lion_train():
           "ms_per_step": round(ms, 2), "batch": 1}
 
 
+def _lm_model(use_flash: bool = True):
+  from automl_tpu.models import lm as lm_lib
+  cfg = lm_lib.lm_defaults()
+  cfg.update(dict(model_dim=1024, n_layers=12, n_heads=8, n_kv_heads=8,
+                  head_dim=128, vocab_size=32000, seq_len=2048,
+                  use_flash_attention=use_flash))
+  model = lm_lib.TransformerLM(cfg, lm_lib.ShardingConfig.data_parallel())
+  params = jax.jit(model.init)(jax.random.key(0))
+  return cfg, model, params
+
+
+def bench_lm_train():
+  """234M-param LM train step b8 T2048 Lion (+ Pallas flash fwd/bwd)."""
+  from automl_tpu.train import lm_trainer, optimizers as opt_lib
+
+  cfg, model, params = _lm_model()
+  tx = opt_lib.build_optimizer("lion", 1e-3)
+  state = lm_trainer.LMTrainState(jnp.zeros((), jnp.int32), params,
+                                  tx.init(params))
+  step_fn = jax.jit(lm_trainer.make_lm_train_step(model, tx))
+
+  def make_batch(i):
+    toks = jax.random.randint(jax.random.key(i), (8, cfg.seq_len + 1),
+                              0, cfg.vocab_size)
+    return {"tokens": toks}
+
+  state, _ = step_fn(state, make_batch(0))
+  jax.block_until_ready(state.params)
+  args = [(state, make_batch(i + 1)) for i in range(PROFILED_CALLS)]
+  with tempfile.TemporaryDirectory() as d:
+    ms = device_busy_ms_per_call(
+        lambda s, b: step_fn(s, b)[1]["loss"], args, d)
+  toks = 8 * cfg.seq_len
+  return {"metric": "lm234m_train_tok_per_s",
+          "value": round(toks / ms * 1000), "unit": "tok/s",
+          "ms_per_step": round(ms, 2), "batch": 8, "seq_len": cfg.seq_len}
+
+
+def bench_lm_decode():
+  """234M-param LM KV-cache decode: b8, prefill 128, 896 generated tokens."""
+  from automl_tpu.models.lm import greedy_generate
+
+  cfg, model, params = _lm_model(use_flash=False)  # decode is step-wise
+  new_tokens = 896
+
+  @jax.jit
+  def gen(params, prompt):
+    return greedy_generate(model, params, prompt, new_tokens)
+
+  def prompt(i):
+    return jax.random.randint(jax.random.key(i), (8, 128), 0, cfg.vocab_size)
+
+  out = gen(params, prompt(0))
+  jax.block_until_ready(out)
+  args = [(params, prompt(i + 1)) for i in range(PROFILED_CALLS)]
+  with tempfile.TemporaryDirectory() as d:
+    ms = device_busy_ms_per_call(gen, args, d)
+  toks = 8 * new_tokens
+  return {"metric": "lm234m_decode_tok_per_s",
+          "value": round(toks / ms * 1000), "unit": "tok/s",
+          "ms_per_call": round(ms, 2), "batch": 8,
+          "prefill": 128, "new_tokens": new_tokens}
+
+
 WORKLOADS = {
     "d0_train": bench_d0_train,
     "effnetv2s_train": bench_effnetv2s_train,
     "d4_train": bench_d4_train,
     "d7x_infer": bench_d7x_infer,
     "d7x_lion_train": bench_d7x_lion_train,
+    "lm_train": bench_lm_train,
+    "lm_decode": bench_lm_decode,
 }
 
 

@@ -191,3 +191,45 @@ def test_det_train_step_positives_momentum():
         float(state.normalizer), 0.9 * prev + 0.1 * pos_sum, rtol=1e-5)
   finally:
     nn.set_policy("mixed_bfloat16")
+
+
+def test_det_train_step_adversarial_loss():
+  """adv_multiplier > 0 mixes an FGSM neighbor loss into the detection loss
+  (working analog of the reference's unwired nsl AdversarialLoss,
+  tf2/train_lib.py:328-354): det_loss grows by the adv term, the step still
+  jits, and params still update."""
+  nn.set_policy("float32")
+  try:
+    from automl_tpu.configs.efficientdet_configs import get_efficientdet_config
+    from automl_tpu.models.efficientdet import EfficientDet
+    batch = {
+        "image": jax.random.normal(jax.random.key(1), (2, 64, 64, 3)),
+        "gt_boxes": jnp.array([[[4.0, 4.0, 40.0, 40.0]]] * 2),
+        "gt_classes": jnp.array([[1]] * 2),
+    }
+
+    def one_step(adv_multiplier):
+      cfg = get_efficientdet_config("efficientdet-test")
+      cfg.override(dict(adv_multiplier=adv_multiplier, adv_step_size=0.05))
+      model = EfficientDet(cfg)
+      params = jax.jit(model.init)(jax.random.key(0))
+      tx = opt_lib.masked_for_params(
+          opt_lib.build_optimizer("momentum", 1e-3), params)
+      state = train_lib.create_train_state(params, tx)
+      step_fn = jax.jit(train_lib.make_det_train_step(model, tx, cfg))
+      new_state, m = step_fn(state, batch, jax.random.key(2))
+      return state, new_state, m
+
+    _, _, m_plain = one_step(0.0)
+    s0, s1, m_adv = one_step(0.5)
+    # the adversarial perturbation ascends the loss: mixed det_loss exceeds
+    # the clean one (same init/params/rng in both runs)
+    assert float(m_adv["det_loss"]) > float(m_plain["det_loss"])
+    # and roughly by the expected factor (adv loss >= clean loss)
+    assert float(m_adv["det_loss"]) >= 1.4 * float(m_plain["det_loss"])
+    # params still update
+    leaf0 = jax.tree_util.tree_leaves(s0.params)[0]
+    leaf1 = jax.tree_util.tree_leaves(s1.params)[0]
+    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+  finally:
+    nn.set_policy("mixed_bfloat16")

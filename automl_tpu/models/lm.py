@@ -502,7 +502,8 @@ class TransformerLM(Module):
 
   def apply(self, params, tokens, positions=None, segment_ids=None,
             cache=None, cache_index=None, kv_positions=None):
-    """tokens: [B, T] int32. cache: optional stacked {k,v: [L,B,S,n,h]}.
+    """tokens: [B, T] int32. cache: optional per-layer tuple of
+    {k, v: [B, S, n, h]} (from init_cache).
 
     Returns (logits [B, T, V], new_cache or None)."""
     cfg = self.cfg
@@ -529,37 +530,36 @@ class TransformerLM(Module):
     mask = (None if uses_fused_mask
             else self._mask(positions, kv_positions, segment_ids))
 
-    if cfg.use_scan:
-      block_fn = self.block
-
-      if cache is not None:
-        def body(x, scanned):
-          layer_params, layer_cache = scanned
-          out, nc = block_fn(layer_params, x, positions, mask,
-                             layer_cache, cache_index,
-                             segment_ids=segment_ids)
-          return out, nc
-        xs = (params["blocks"], cache)
-      else:
-        def body(x, layer_params):
-          out, nc = block_fn(layer_params, x, positions, mask, None, None,
-                             segment_ids=segment_ids)
-          return out, nc
-        xs = params["blocks"]
-
-      if cfg.use_remat:
-        body = jax.checkpoint(body)
-      x, new_cache = jax.lax.scan(body, x, xs)
-    else:
+    if cache is not None:
+      # Decode / prefill-with-cache: ALWAYS unrolled over layers, with a
+      # per-layer cache tuple. Scanning over a stacked [L,B,S,n,h] cache
+      # forces XLA to copy each layer's 16MB+ KV slice through layout
+      # changes every step — measured 19.0 ms/token vs 4.3 ms unrolled for
+      # a 234M model (PERF_NOTES.md round 2). No grads flow here, so remat
+      # is unnecessary too.
+      stacked_blocks = not isinstance(params["blocks"], (list, tuple))
       new_caches = []
-      for i, layer_params in enumerate(params["blocks"]):
-        layer_cache = None if cache is None else jax.tree_util.tree_map(
-            lambda c: c[i], cache)
-        x, nc = self.block(layer_params, x, positions, mask, layer_cache,
+      for i in range(cfg.n_layers):
+        layer_params = (jax.tree_util.tree_map(lambda p: p[i],
+                                               params["blocks"])
+                        if stacked_blocks else params["blocks"][i])
+        x, nc = self.block(layer_params, x, positions, mask, cache[i],
                            cache_index, segment_ids=segment_ids)
         new_caches.append(nc)
-      new_cache = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                         *new_caches)
+      new_cache = tuple(new_caches)
+    elif cfg.use_scan:
+      def body(x, layer_params):
+        out, nc = self.block(layer_params, x, positions, mask, None, None,
+                             segment_ids=segment_ids)
+        return out, None
+      if cfg.use_remat:
+        body = jax.checkpoint(body)
+      x, new_cache = jax.lax.scan(body, x, params["blocks"])
+    else:
+      for layer_params in params["blocks"]:
+        x, _ = self.block(layer_params, x, positions, mask, None, None,
+                          segment_ids=segment_ids)
+      new_cache = None
 
     x = self.final_norm(params["final_norm"], x)
     if cfg.tie_embeddings:
@@ -573,10 +573,15 @@ class TransformerLM(Module):
     return logits, new_cache
 
   def init_cache(self, batch_size: int, max_len: int):
+    """Per-layer KV cache tuple: (… {k, v: [B, S, n_kv, hd]} …) per layer.
+
+    Per-layer (not stacked [L,...]) so the decode loop never dynamic-slices
+    the layer dimension — see the layout-copy note in apply()."""
     cfg = self.cfg
-    shape = (cfg.n_layers, batch_size, max_len, cfg.n_kv_heads, cfg.head_dim)
+    shape = (batch_size, max_len, cfg.n_kv_heads, cfg.head_dim)
     dt = jnp.dtype(cfg.activation_dtype)
-    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+    return tuple({"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+                 for _ in range(cfg.n_layers))
 
 
 # ---------------------------------------------------------------------------

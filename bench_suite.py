@@ -221,6 +221,33 @@ def bench_lm_decode():
           "prefill": 128, "new_tokens": new_tokens}
 
 
+def bench_lm_decode_int8():
+  """Same decode workload with int8-quantized weights (half the HBM reads)."""
+  from automl_tpu.models.lm import greedy_generate, quantize_lm_params
+
+  cfg, model, params = _lm_model(use_flash=False)
+  params = quantize_lm_params(params)
+  new_tokens = 896
+
+  @jax.jit
+  def gen(params, prompt):
+    return greedy_generate(model, params, prompt, new_tokens)
+
+  def prompt(i):
+    return jax.random.randint(jax.random.key(i), (8, 128), 0, cfg.vocab_size)
+
+  out = gen(params, prompt(0))
+  jax.block_until_ready(out)
+  args = [(params, prompt(i + 1)) for i in range(PROFILED_CALLS)]
+  with tempfile.TemporaryDirectory() as d:
+    ms = device_busy_ms_per_call(gen, args, d)
+  toks = 8 * new_tokens
+  return {"metric": "lm234m_decode_int8_tok_per_s",
+          "value": round(toks / ms * 1000), "unit": "tok/s",
+          "ms_per_call": round(ms, 2), "batch": 8,
+          "prefill": 128, "new_tokens": new_tokens}
+
+
 WORKLOADS = {
     "d0_train": bench_d0_train,
     "effnetv2s_train": bench_effnetv2s_train,
@@ -229,6 +256,7 @@ WORKLOADS = {
     "d7x_lion_train": bench_d7x_lion_train,
     "lm_train": bench_lm_train,
     "lm_decode": bench_lm_decode,
+    "lm_decode_int8": bench_lm_decode_int8,
 }
 
 

@@ -28,12 +28,20 @@ def parse_args(argv=None):
                  help="published TF ckpt to finetune from (head reinit)")
   p.add_argument("--train_steps", type=int, default=0)
   p.add_argument("--mesh_shape", default=None)
+  p.add_argument("--coordinator_address", default=None,
+                 help="host:port for jax.distributed multi-process runs")
+  p.add_argument("--num_processes", type=int, default=None)
+  p.add_argument("--process_id", type=int, default=None)
   p.add_argument("--seed", type=int, default=0)
   return p.parse_args(argv)
 
 
 def main(argv=None):
   args = parse_args(argv)
+  # must run before any jax backend use (multi-process runs only)
+  from automl_tpu.parallel import distributed
+  distributed.initialize(args.coordinator_address, args.num_processes,
+                         args.process_id)
   from automl_tpu.configs.effnet_configs import get_model_config
   from automl_tpu.data import pipeline
   from automl_tpu.train import runners
@@ -61,12 +69,19 @@ def main(argv=None):
   mesh_shape = (tuple(int(x) for x in args.mesh_shape.split(","))
                 if args.mesh_shape else None)
 
+  # Multi-process: global batch split across processes, per-host file shards
+  # (PER_HOST_V2 analog, ref: efficientnetv2/datasets.py:336-374).
+  import jax
+  n_proc, proc_id = jax.process_count(), jax.process_index()
+  local_batch = batch_size // max(n_proc, 1)
+
   data_iter = None
   if args.train_file_pattern and config.data.ds_name != "null":
     canvas = int(runners.resolve_train_size(config) * 1.15) // 2 * 2
     data_iter = iter(pipeline.ImageNetTFRecordLoader(
-        args.train_file_pattern, is_training=True, batch_size=batch_size,
-        canvas_size=canvas, num_classes=config.data.num_classes))
+        args.train_file_pattern, is_training=True, batch_size=local_batch,
+        canvas_size=canvas, num_classes=config.data.num_classes,
+        shard_index=proc_id, num_shards=n_proc))
   elif args.data_dir and spec is not None:
     canvas = int(runners.resolve_train_size(config) * 1.15) // 2 * 2
     data_iter = iter(ds_lib.build_dataset(config, "train", batch_size,

@@ -39,12 +39,20 @@ def parse_args(argv=None):
                  help="published TF EfficientNet ckpt to warm-start backbone")
   p.add_argument("--profile", action="store_true",
                  help="capture an xprof trace of steps 10-14 into model_dir")
+  p.add_argument("--coordinator_address", default=None,
+                 help="host:port for jax.distributed multi-process runs")
+  p.add_argument("--num_processes", type=int, default=None)
+  p.add_argument("--process_id", type=int, default=None)
   p.add_argument("--seed", type=int, default=0)
   return p.parse_args(argv)
 
 
 def main(argv=None):
   args = parse_args(argv)
+  # must run before any jax backend use (multi-process runs only)
+  from automl_tpu.parallel import distributed
+  distributed.initialize(args.coordinator_address, args.num_processes,
+                         args.process_id)
   from automl_tpu.configs.efficientdet_configs import get_efficientdet_config
   from automl_tpu.data import pipeline
   from automl_tpu.train import runners
@@ -53,6 +61,12 @@ def main(argv=None):
   config = get_efficientdet_config(args.model_name)
   config.override(args.hparams)
   batch_size = int(config.batch_size)
+  # Multi-process: config.batch_size is GLOBAL; each process reads its own
+  # file shard and feeds batch_size/process_count rows
+  # (PER_HOST_V2 analog, ref: efficientdet/main.py:253 + dataloader.py:418).
+  import jax
+  n_proc, proc_id = jax.process_count(), jax.process_index()
+  local_batch = batch_size // max(n_proc, 1)
   train_steps = args.train_steps or (
       config.num_epochs * args.num_examples_per_epoch // batch_size)
   mesh_shape = (tuple(int(x) for x in args.mesh_shape.split(","))
@@ -62,10 +76,11 @@ def main(argv=None):
   train_iter = None
   if args.train_file_pattern and not args.use_fake_data:
     train_iter = iter(pipeline.DetectionTFRecordLoader(
-        args.train_file_pattern, is_training=True, batch_size=batch_size,
+        args.train_file_pattern, is_training=True, batch_size=local_batch,
         canvas_size=size[0],
         max_instances=config.max_instances_per_image,
-        skip_crowd_during_training=config.skip_crowd_during_training))
+        skip_crowd_during_training=config.skip_crowd_during_training,
+        shard_index=proc_id, num_shards=n_proc))
 
   eval_iter = None
   eval_steps = 0
@@ -75,8 +90,9 @@ def main(argv=None):
   if args.mode in ("eval", "train_and_eval") and args.val_file_pattern:
     def eval_iter():  # fresh iterator per eval pass
       return iter(pipeline.DetectionTFRecordLoader(
-          args.val_file_pattern, is_training=False, batch_size=batch_size,
-          canvas_size=size[0], max_instances=config.max_instances_per_image))
+          args.val_file_pattern, is_training=False, batch_size=local_batch,
+          canvas_size=size[0], max_instances=config.max_instances_per_image,
+          shard_index=proc_id, num_shards=n_proc))
     eval_steps = max(args.eval_samples // batch_size, 1)
 
   if args.mode == "eval":

@@ -64,13 +64,32 @@ def mesh_sharding(mesh: Mesh, pspec: PartitionSpec | None) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axes=("replica", "data")):
-  """Device_put a host batch sharded over the data axes (leading dim)."""
+  """Device_put a host batch sharded over the data axes (leading dim).
+
+  Multi-process: `batch` holds only this process's rows (global_rows /
+  process_count); the per-process shards are assembled into one globally
+  sharded jax.Array (hero build_global_array pattern,
+  ref: hero/model_lib.py:2410-2423)."""
   axes = tuple(a for a in axes if a in mesh.axis_names)
+  if jax.process_count() > 1:
+    from automl_tpu.parallel.distributed import build_global_batch
+    sliced = dict(batch) if isinstance(batch, dict) else batch
+    return build_global_batch(sliced, mesh, PartitionSpec(axes))
   sharding = NamedSharding(mesh, PartitionSpec(axes))
   return jax.tree_util.tree_map(
       lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(mesh: Mesh, tree):
+  """Broadcast host values to every device (every process holds the same
+  value — required in multi-process runs, where device_put alone cannot
+  target non-addressable devices)."""
+  import numpy as np
   sharding = NamedSharding(mesh, PartitionSpec())
+  if jax.process_count() > 1:
+    def put(x):
+      local = np.asarray(x)
+      return jax.make_array_from_process_local_data(
+          sharding, local, local.shape)
+    return jax.tree_util.tree_map(put, tree)
   return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -17,6 +17,17 @@ from typing import Iterator, Optional
 import orbax.checkpoint as ocp
 
 
+def state_for_save(state):
+  """What trainers pass to CheckpointManager.save.
+
+  Single-process: a host copy (device_get) so async orbax saves never race
+  donated buffers. Multi-process: the sharded jax.Arrays themselves —
+  device_get raises on non-addressable shards, and orbax's native
+  multi-host path wants the global arrays (hero/model_lib.py:1709-1713)."""
+  import jax
+  return jax.device_get(state) if jax.process_count() == 1 else state
+
+
 class CheckpointManager:
   """Thin orbax wrapper for TrainState-like pytrees."""
 

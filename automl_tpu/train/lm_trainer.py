@@ -22,6 +22,7 @@ import optax
 
 from automl_tpu.models import lm as lm_lib
 from automl_tpu.train import optimizers as opt_lib
+from automl_tpu.train import checkpoint as ckpt_lib
 from automl_tpu.train.checkpoint import CheckpointManager
 
 
@@ -213,7 +214,7 @@ def run_lm(config, model_dir: str, train_steps: int,
         state, logs = step_fn(state, batch)
       step += 1
       if ckpt_every and step % ckpt_every == 0:
-        mngr.save(step, jax.device_get(state))
+        mngr.save(step, ckpt_lib.state_for_save(state))
       if step % log_every == 0 or step == train_steps:
         l = {k: float(v) for k, v in jax.device_get(logs).items()}
         now = time.perf_counter()
@@ -229,7 +230,7 @@ def run_lm(config, model_dir: str, train_steps: int,
           step % eval_every == 0 or step == train_steps):
         logs = dict(logs)
         logs["validation_loss"] = run_validation(step)
-    mngr.save(step, jax.device_get(state))
+    mngr.save(step, ckpt_lib.state_for_save(state))
     mngr.wait_until_finished()
     writer.close()
     return {k: float(v) for k, v in jax.device_get(logs).items()}

@@ -28,6 +28,7 @@ from automl_tpu.data import augment, pipeline, preprocessing
 from automl_tpu.parallel import create_mesh, shard_batch, replicate
 from automl_tpu.train import optimizers as opt_lib
 from automl_tpu.train import schedules, train_lib
+from automl_tpu.train import checkpoint as ckpt_lib
 from automl_tpu.train.checkpoint import CheckpointManager, archive_ckpt
 
 
@@ -86,6 +87,8 @@ def run_classification(config, model_dir: str, train_steps: int,
         strict=False, exclude_prefixes=(("head", "fc"),))
 
   batch_size = int(config.train.batch_size)
+  # per-process rows for synthetic fallbacks (shard_batch reassembles)
+  local_batch = batch_size // max(jax.process_count(), 1)
   steps_per_epoch = max(train_steps // max(config.train.epochs, 1), 1)
   lr_fn = schedules.warmup_lr(
       config.train.lr_sched, config.train.lr_base,
@@ -147,11 +150,11 @@ def run_classification(config, model_dir: str, train_steps: int,
     elif config.data.get("multiclass"):
       from automl_tpu.data import datasets as ds_lib
       it = iter(ds_lib.SyntheticMultiLabel(
-          batch_size, int(isize * 1.15) // 2 * 2, config.data.num_classes,
+          local_batch, int(isize * 1.15) // 2 * 2, config.data.num_classes,
           int(config.data.get("max_labels", 16))))
     else:
       it = iter(pipeline.SyntheticClassification(
-          batch_size, int(isize * 1.15) // 2 * 2, config.data.num_classes))
+          local_batch, int(isize * 1.15) // 2 * 2, config.data.num_classes))
     stage_end = min((stage + 1) * stage_steps, train_steps)
     while step < stage_end:
       batch = next(it)
@@ -166,7 +169,7 @@ def run_classification(config, model_dir: str, train_steps: int,
         print(f"step {step} stage {stage} isize {isize} "
               f"loss {m['loss']:.4f} top1 {m['top1']:.3f} "
               f"({rate:.1f} img/s)")
-    mngr.save(step, jax.device_get(state))
+    mngr.save(step, ckpt_lib.state_for_save(state))
   mngr.wait_until_finished()
   return {k: float(v) for k, v in jax.device_get(metrics).items()}
 
@@ -251,8 +254,11 @@ def run_detection(config, model_dir: str, train_steps: int,
   step_fn = jax.jit(train_lib.make_det_train_step(
       model, tx, config, preprocess_fn=preprocess))
 
+  # Multi-process: each process feeds batch_size/process_count rows;
+  # shard_batch assembles them into the global array.
+  local_batch = batch_size // max(jax.process_count(), 1)
   it = data_iter if data_iter is not None else iter(
-      pipeline.SyntheticDetection(batch_size, size[0],
+      pipeline.SyntheticDetection(local_batch, size[0],
                                   config.max_instances_per_image,
                                   config.num_classes))
   rng = jax.random.key(seed + 1)
@@ -298,7 +304,7 @@ def run_detection(config, model_dir: str, train_steps: int,
     # utils.archive_ckpt)
     if (eval_every and eval_iter is not None and eval_steps
         and (step % eval_every == 0 or step == train_steps)):
-      mngr.save(step, jax.device_get(state))
+      mngr.save(step, ckpt_lib.state_for_save(state))
       eval_params = state.ema_params or state.params
       fresh = eval_iter() if callable(eval_iter) else eval_iter
       em = evaluate_detection(model, eval_params, config, fresh, eval_steps,
@@ -310,7 +316,7 @@ def run_detection(config, model_dir: str, train_steps: int,
       if em.get("AP", -1) >= 0:
         archive_ckpt(model_dir, step, em["AP"], mngr)
   writer.close()
-  mngr.save(step, jax.device_get(state))
+  mngr.save(step, ckpt_lib.state_for_save(state))
   mngr.wait_until_finished()
   out = {k: float(v) for k, v in jax.device_get(metrics).items()}
 

@@ -39,6 +39,18 @@ assert arr.shape == (16, 3), arr.shape
 total = jax.jit(lambda x: jnp.sum(x))(arr)
 expect = float(global_batch.sum())
 assert abs(float(total) - expect) < 1e-3, (float(total), expect)
+
+# the trainers' path: shard_batch assembles per-process rows into the
+# global batch; replicate broadcasts state (both multi-process aware)
+from automl_tpu.parallel.mesh import shard_batch, replicate
+local_b = {"image": np.full((4, 4, 4, 3), pid + 1.0, np.float32)}
+gb = shard_batch(mesh, local_b)
+assert gb["image"].shape == (8, 4, 4, 3), gb["image"].shape
+got = float(jax.jit(lambda b: jnp.sum(b["image"]))(gb))
+assert abs(got - (1.0 + 2.0) * 4 * 4 * 4 * 3) < 1e-3, got
+state = replicate(mesh, {"w": np.arange(3.0, dtype=np.float32)})
+sw = float(jax.jit(lambda s: jnp.sum(s["w"]))(state))
+assert abs(sw - 3.0) < 1e-3, sw
 print(f"proc {pid} OK total={float(total)}")
 """
 

@@ -1,0 +1,102 @@
+"""Text generation from a trained LM checkpoint (hero LMInterface.generate
+analog, ref: hero/model_lib.py:1958-2186 prefill+decode serving path).
+
+Examples:
+  python -m automl_tpu.cli.generate_lm --model_dir=/tmp/lm \
+    --prompt="Once upon a time" --max_new_tokens=128 \
+    --temperature=0.8 --top_k=40
+  echo "prompt per line" | python -m automl_tpu.cli.generate_lm \
+    --model_dir=/tmp/lm --tokenizer=/ckpts/vb32000_t5_cc.model --int8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def parse_args(argv=None):
+  p = argparse.ArgumentParser(description=__doc__)
+  p.add_argument("--model_dir", required=True,
+                 help="run_lm output dir (experiment_config.yaml + ckpt/)")
+  p.add_argument("--prompt", default=None,
+                 help="prompt text; default: one prompt per stdin line")
+  p.add_argument("--max_new_tokens", type=int, default=128)
+  p.add_argument("--temperature", type=float, default=0.0,
+                 help="0 = greedy")
+  p.add_argument("--top_k", type=int, default=0)
+  p.add_argument("--top_p", type=float, default=0.0)
+  p.add_argument("--tokenizer", default="byte",
+                 help="'byte' or a SentencePiece .model path (must match "
+                      "training)")
+  p.add_argument("--int8", action="store_true",
+                 help="serve with int8-quantized weights (2x less memory)")
+  p.add_argument("--step", type=int, default=None,
+                 help="checkpoint step (default: latest)")
+  p.add_argument("--seed", type=int, default=0)
+  return p.parse_args(argv)
+
+
+def load_model(model_dir: str, step=None, int8: bool = False):
+  """(config, model, params) from a run_lm model_dir."""
+  import jax
+  import jax.numpy as jnp
+  from automl_tpu.config import Config
+  from automl_tpu.models import lm as lm_lib
+  from automl_tpu.train import lm_trainer
+  from automl_tpu.train import optimizers as opt_lib
+  from automl_tpu.train.checkpoint import CheckpointManager
+
+  config = Config({}).update(
+      os.path.join(model_dir, "experiment_config.yaml"))
+  model = lm_lib.TransformerLM(config, lm_lib.ShardingConfig.data_parallel())
+  shapes = jax.eval_shape(model.init, jax.random.key(0))
+  template = jax.tree_util.tree_map(
+      lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+  # schedule-callable lr so the opt-state template matches run_lm's
+  # (a float lr yields EmptyState where a schedule has a countdown state)
+  tx = opt_lib.build_optimizer(config.get("optimizer", "lion"),
+                               lambda step: 1e-3)
+  state_template = lm_trainer.LMTrainState(
+      jnp.zeros((), jnp.int32), template, tx.init(template))
+  mngr = CheckpointManager(os.path.join(model_dir, "ckpt"))
+  state = mngr.restore(state_template, step=step)
+  if state is None:
+    raise FileNotFoundError(f"no checkpoint under {model_dir}/ckpt")
+  params = state.params
+  if int8:
+    params = lm_lib.quantize_lm_params(params)
+  return config, model, params
+
+
+def main(argv=None):
+  args = parse_args(argv)
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from automl_tpu.data.lm_pipeline import ByteTokenizer, SentencePieceModel
+  from automl_tpu.models.lm import greedy_generate
+
+  config, model, params = load_model(args.model_dir, args.step, args.int8)
+  tok = (ByteTokenizer() if args.tokenizer == "byte"
+         else SentencePieceModel(args.tokenizer))
+
+  prompts = ([args.prompt] if args.prompt is not None
+             else [ln.rstrip("\n") for ln in sys.stdin if ln.strip()])
+  outputs = []
+  for i, text in enumerate(prompts):
+    ids = np.asarray(tok.encode(text), np.int32)[None]
+    out = greedy_generate(
+        model, params, jnp.asarray(ids), args.max_new_tokens,
+        rng=jax.random.key(args.seed + i), temperature=args.temperature,
+        top_k=args.top_k, top_p=args.top_p)
+    new_ids = np.asarray(out)[0, ids.shape[1]:]
+    completion = tok.decode([int(t) for t in new_ids])
+    outputs.append(completion)
+    print(f"=== {text!r}\n{completion}")
+  return outputs
+
+
+if __name__ == "__main__":
+  main()

@@ -98,3 +98,23 @@ def test_watch_checkpoints_yields_new_steps_then_times_out(tmp_path):
   seen = list(watch_checkpoints(d, timeout_secs=1.0, poll_secs=0.1))
   t.join()
   assert seen == [5, 10], seen
+
+
+def test_generate_lm_cli_end_to_end(tmp_path):
+  """Train a tiny LM via run_lm, then generate text through the CLI
+  (greedy + int8 sampling paths) — the hero LMInterface.generate analog."""
+  from automl_tpu.cli import generate_lm
+  from automl_tpu.models import lm as lm_lib
+  from automl_tpu.train import lm_trainer
+
+  d = str(tmp_path / "lm")
+  cfg = lm_lib.get_lm_config("lm-test")
+  lm_trainer.run_lm(cfg, d, 4, learning_rate=1e-3)
+
+  outs = generate_lm.main(["--model_dir", d, "--prompt", "abcabc",
+                           "--max_new_tokens", "6"])
+  assert len(outs) == 1 and isinstance(outs[0], str)
+  outs2 = generate_lm.main(["--model_dir", d, "--prompt", "xy",
+                            "--max_new_tokens", "4", "--int8",
+                            "--temperature", "0.7", "--top_k", "5"])
+  assert len(outs2) == 1

@@ -65,10 +65,14 @@ def main(argv=None):
 
   isize = int(config.eval.isize)
   canvas = isize + 32
+  # serve-time normalization must match training's augname-derived norm
+  # ('effnetv1_*' -> legacy MEAN/STDDEV, ref: preprocessing.py:110-154)
+  norm, _ = preprocessing.norm_for_augname(config.data.get("augname"))
 
   @jax.jit
   def predict(params, images):
-    x = preprocessing.cls_eval_preprocess(images.astype(jnp.float32), isize)
+    x = preprocessing.cls_eval_preprocess(images.astype(jnp.float32), isize,
+                                          norm=norm)
     return model(params, x, train=False)
 
   if args.runmode == "bm":

@@ -84,8 +84,10 @@ def main(argv=None):
         shard_index=proc_id, num_shards=n_proc))
   elif args.data_dir and spec is not None:
     canvas = int(runners.resolve_train_size(config) * 1.15) // 2 * 2
-    data_iter = iter(ds_lib.build_dataset(config, "train", batch_size,
-                                          canvas_size=canvas))
+    data_iter = iter(ds_lib.build_dataset(config, "train", local_batch,
+                                          canvas_size=canvas,
+                                          shard_index=proc_id,
+                                          num_shards=n_proc))
 
   metrics = runners.run_classification(
       config, args.model_dir, train_steps, mesh_shape=mesh_shape,

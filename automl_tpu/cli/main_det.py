@@ -47,6 +47,27 @@ def parse_args(argv=None):
   return p.parse_args(argv)
 
 
+def build_eval_state_template(config, model):
+  """Zero-filled TrainState matching the TRAINING state structure exactly
+  (optimizer state chain, EMA, moving normalizer) — StandardRestore raises
+  a tree-mismatch ValueError otherwise, which the vanished-checkpoint
+  tolerance would silently swallow."""
+  import jax
+  import jax.numpy as jnp
+  from automl_tpu.train import optimizers as opt_lib
+  from automl_tpu.train import train_lib
+  params = jax.eval_shape(model.init, jax.random.key(0))
+  template = jax.tree_util.tree_map(
+      lambda s: jnp.zeros(s.shape, s.dtype), params)
+  tx = opt_lib.masked_for_params(
+      opt_lib.build_optimizer(
+          config.optimizer if config.optimizer != "sgd" else "momentum",
+          lambda step: 0.0, momentum=config.momentum), template)
+  return train_lib.create_train_state(
+      template, tx, ema=bool(config.moving_average_decay),
+      moving_normalizer=(config.get("positives_momentum", 0.0) or 0.0) > 0)
+
+
 def main(argv=None):
   args = parse_args(argv)
   # must run before any jax backend use (multi-process runs only)
@@ -96,21 +117,13 @@ def main(argv=None):
     eval_steps = max(args.eval_samples // batch_size, 1)
 
   if args.mode == "eval":
-    import jax
     from automl_tpu import nn
     from automl_tpu.models.efficientdet import EfficientDet
     from automl_tpu.train.checkpoint import CheckpointManager
-    from automl_tpu.train import train_lib
-    from automl_tpu.train import optimizers as opt_lib
     nn.set_policy("mixed_bfloat16" if config.mixed_precision else "float32")
     model = EfficientDet(config)
-    params = jax.eval_shape(model.init, jax.random.key(0))
-    import jax.numpy as jnp
-    template = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), params)
     mngr = CheckpointManager(f"{args.model_dir}/ckpt")
-    tx = opt_lib.masked_for_params(opt_lib.build_optimizer("sgd", 0.0), template)
-    state_template = train_lib.create_train_state(template, tx)
+    state_template = build_eval_state_template(config, model)
 
     def eval_step_num(step):
       try:

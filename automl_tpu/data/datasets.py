@@ -201,12 +201,13 @@ class SyntheticMultiLabel:
 def multihot_on_device(label_ids, num_classes: int):
   """[B, K] padded ids (-1 pad) -> [B, num_classes] dense multi-hot, on
   device (ref host path: datasets.py:493-498 sparse_to_dense)."""
+  import jax
   import jax.numpy as jnp
-  oh = jnp.sum(
-      jnp.where(label_ids[..., None] >= 0,
-                jnp.eye(num_classes, dtype=jnp.float32)[
-                    jnp.maximum(label_ids, 0)],
-                0.0), axis=1)
+  # iota-compare one_hot, NOT an eye-gather: eye(21843) would be a ~1.9 GB
+  # constant inside the jitted step. one_hot maps pad ids (-1) to all-zero
+  # rows already.
+  oh = jnp.sum(jax.nn.one_hot(label_ids, num_classes, dtype=jnp.float32),
+               axis=1)
   return jnp.minimum(oh, 1.0)
 
 

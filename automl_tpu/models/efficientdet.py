@@ -353,11 +353,15 @@ class _PredictionNet(Module):
           x, state_updates = nn.run_and_collect_state(bn, bn_p, x, train)
           x = self.act(x)
           if self.survival_prob:
+            # drop_connect + residual apply together and ONLY for repeats
+            # i > 0 (the i == 0 output has no bypass to survive through;
+            # ref: efficientdet_keras.py:430-436).
+            dropped = x
             if use_drop:
               key = jax.random.fold_in(
                   jax.random.fold_in(base_key, level_id), i)
-              x = L.drop_connect_with_key(x, key, self.survival_prob)
-            x = jnp.where(i > 0, x + orig, x)
+              dropped = L.drop_connect_with_key(x, key, self.survival_prob)
+            x = jnp.where(i > 0, dropped + orig, x)
           return x, state_updates
 
         if self.grad_checkpoint:

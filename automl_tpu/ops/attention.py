@@ -174,8 +174,7 @@ def _flash_fwd_pallas(q, k, v, segs, *, n_heads, causal, window, logit_cap,
     ]
     operands += [qseg, kseg]
   else:
-    kernel = functools.partial(kernel)
-    # bind None refs positionally via a wrapper
+    # bind None segment refs positionally via a wrapper
     inner = kernel
     kernel = lambda q_ref, k_ref, v_ref, *rest: inner(
         q_ref, k_ref, v_ref, None, None, *rest)
@@ -217,7 +216,11 @@ def _bwd_compute(q, k, v, g, lse, delta, mask, *, logit_cap, sm_scale):
     dcap = 1.0
     s_eff = s
   s_eff = jnp.where(mask, s_eff, NEG_INF)
-  p = jnp.exp(s_eff - lse)              # [bq, bk]; masked entries -> 0
+  # Explicit where, not exp(NEG_INF - lse): on pad q rows lse/delta read
+  # uninitialized memory (NaN in interpret mode), and NEG_INF - NaN = NaN
+  # would poison the dv contraction (NaN * 0 = NaN) for any seq_len not a
+  # multiple of block_q.
+  p = jnp.where(mask, jnp.exp(s_eff - lse), 0.0)  # [bq, bk]
   dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                            preferred_element_type=jnp.float32)
   ds = p * (dp - delta) * dcap

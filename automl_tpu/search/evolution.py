@@ -39,13 +39,15 @@ def regularized_evolution(
   array), children are shape-validated by abstract execution before any real
   evaluation spend (ref: hero's abstract execution gate).
 
-  stats: dict(history, evaluations, cache_hits, rejected_abstract).
+  stats: dict(history, evaluations, cache_hits, rejected_abstract,
+  failed_evaluations).
   """
   rng = random.Random(seed)
   sign = 1.0 if minimize else -1.0
   population = collections.deque()
   cache: dict[str, float] = {}
-  stats = {"evaluations": 0, "cache_hits": 0, "rejected_abstract": 0}
+  stats = {"evaluations": 0, "cache_hits": 0, "rejected_abstract": 0,
+           "failed_evaluations": 0}
 
   def run(prog: Program) -> float:
     h = prog.functional_hash()
@@ -55,10 +57,17 @@ def regularized_evolution(
     try:
       if abstract_inputs is not None:
         prog.abstract_execute(**abstract_inputs)
-      stats["evaluations"] += 1
-      cache[h] = float(evaluate(prog))
     except Exception:
       stats["rejected_abstract"] += 1
+      cache[h] = float("inf") * sign
+      return cache[h]
+    stats["evaluations"] += 1
+    try:
+      cache[h] = float(evaluate(prog))
+    except Exception:
+      # passed the abstract gate but crashed on real data — distinct from
+      # an abstract-gate rejection for tuning the gate/mutation mix
+      stats["failed_evaluations"] = stats.get("failed_evaluations", 0) + 1
       cache[h] = float("inf") * sign
     return cache[h]
 

@@ -180,6 +180,21 @@ def run_lm(config, model_dir: str, train_steps: int,
     prev_t = t0
     step = int(jax.device_get(state.step))
 
+    multiproc = jax.process_count() > 1
+    if multiproc:
+      # each process feeds its slice of the global batch; assemble one
+      # globally-sharded array (ref: hero/model_lib.py:2410-2423)
+      from automl_tpu.data.lm_pipeline import select_local_batch
+      from automl_tpu.parallel import build_global_batch
+
+    def device_batch(host_batch):
+      """Host batch -> what the jitted fns accept (global array multiproc:
+      a process-local jnp array cannot be placed against multi-host-sharded
+      params)."""
+      if multiproc:
+        return build_global_batch(select_local_batch(host_batch), mesh)
+      return {k: jnp.asarray(v) for k, v in host_batch.items()}
+
     def run_validation(step):
       """Weight-averaged held-out loss (incremental mean, as the ref)."""
       mean_loss, total_w = 0.0, 0.0
@@ -188,9 +203,8 @@ def run_lm(config, model_dir: str, train_steps: int,
       for i, ebatch in enumerate(iter(eval_iter)):
         if i >= eval_steps:
           break
-        ebatch = {k: jnp.asarray(v) for k, v in ebatch.items()}
-        loss, w = (float(x) for x in jax.device_get(eval_fn(state.params,
-                                                            ebatch)))
+        loss, w = (float(x) for x in jax.device_get(
+            eval_fn(state.params, device_batch(ebatch))))
         total_w += w
         mean_loss += (loss - mean_loss) * (w / max(total_w, 1e-6))
       writer.write(step, {"validation_loss": mean_loss,
@@ -198,18 +212,8 @@ def run_lm(config, model_dir: str, train_steps: int,
       print(f"step {step} validation_loss {mean_loss:.4f}")
       return mean_loss
 
-    multiproc = jax.process_count() > 1
-    if multiproc:
-      # each process feeds its slice of the global batch; assemble one
-      # globally-sharded array (ref: hero/model_lib.py:2410-2423)
-      from automl_tpu.data.lm_pipeline import select_local_batch
-      from automl_tpu.parallel import build_global_batch
-
     while step < train_steps:
-      if multiproc:
-        batch = build_global_batch(select_local_batch(next(it)), mesh)
-      else:
-        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+      batch = device_batch(next(it))
       with jax.profiler.StepTraceAnnotation("train", step_num=step):
         state, logs = step_fn(state, batch)
       step += 1

@@ -105,3 +105,24 @@ def test_flash_gradients_match_dense(window, logit_cap):
   for a, b_ in zip(g1, g2):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                atol=3e-4, rtol=1e-3)
+
+
+def test_flash_gradients_non_divisible_t():
+  """Regression: with T % block_q != 0, pad q rows read uninitialized
+  lse/delta; the unmasked p matrix used to poison dv with NaN
+  (NEG_INF - NaN = NaN, then NaN * 0 = NaN in the contraction)."""
+  q, k, v = _qkv(b=1, t=40, n=2, h=8)
+
+  def loss_flash(q, k, v):
+    return jnp.sum(jnp.square(flash_attention(
+        q, k, v, block_q=16, block_k=16, interpret=True)))
+
+  def loss_dense(q, k, v):
+    return jnp.sum(jnp.square(dense_attention(q, k, v)))
+
+  g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+  g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+  for a, b_ in zip(g1, g2):
+    assert np.isfinite(np.asarray(a)).all()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                               atol=3e-4, rtol=1e-3)

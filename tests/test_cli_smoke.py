@@ -118,3 +118,32 @@ def test_generate_lm_cli_end_to_end(tmp_path):
                             "--max_new_tokens", "4", "--int8",
                             "--temperature", "0.7", "--top_k", "5"])
   assert len(outs2) == 1
+
+
+def test_eval_state_template_matches_training_checkpoint(tmp_path):
+  """The eval-mode restore template must structurally match what training
+  saved — including the moving normalizer (positives_momentum) and EMA —
+  or orbax raises a tree-mismatch that masquerades as a vanished ckpt."""
+  import jax
+  from automl_tpu.configs.efficientdet_configs import get_efficientdet_config
+  from automl_tpu.cli.main_det import build_eval_state_template
+  from automl_tpu.models.efficientdet import EfficientDet
+  from automl_tpu.train import runners
+  from automl_tpu.train.checkpoint import CheckpointManager
+  from automl_tpu import nn
+
+  d = str(tmp_path / "det")
+  cfg = get_efficientdet_config("efficientdet-test")
+  cfg.override(dict(positives_momentum=0.9))
+  runners.run_detection(cfg, d, 2)
+
+  nn.set_policy("float32")
+  try:
+    model = EfficientDet(cfg)
+    template = build_eval_state_template(cfg, model)
+    state = CheckpointManager(f"{d}/ckpt").restore(template)
+    assert state is not None
+    assert state.normalizer is not None and float(state.normalizer) != 1.0
+    assert state.ema_params is not None
+  finally:
+    nn.set_policy("mixed_bfloat16")

@@ -59,6 +59,8 @@ def lm_defaults() -> Config:
       use_window_chunk=False, # chunked (blockwise 2-chunk) local attention
       window_chunk_size=None,
       use_flash_attention=False,  # Pallas kernel for train/prefill attention
+      use_combined_qkv=False,     # stacked [3,d,n,h] qkv matmul (hero
+                                  # model_lib.py:562; fewer decode dispatches)
       tie_embeddings=True,
       use_scan=True,
       use_remat=True,
@@ -230,12 +232,23 @@ class Attention(Module):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     scale = d ** -0.5
     dt = jnp.dtype(self.cfg.param_dtype)
+    wo = ((self.n_heads * hd) ** -0.5
+          * jax.random.normal(k4, (d, self.n_heads, hd))).astype(dt)
+    if self.cfg.get("use_combined_qkv"):
+      # hero's stacked layout (model_lib.py:595-617): one [3,d,n,h] qkv
+      # matmul when heads match; separate q + stacked [2,d,nkv,h] kv under
+      # GQA. Fewer, larger matmuls — matters most in latency-bound decode.
+      if self.n_kv == self.n_heads:
+        qkv = scale * jax.random.normal(k1, (3, d, self.n_heads, hd))
+        return {"wqkv": qkv.astype(dt), "wo": wo}
+      wq = scale * jax.random.normal(k1, (d, self.n_heads, hd))
+      wkv = scale * jax.random.normal(k2, (2, d, self.n_kv, hd))
+      return {"wq": wq.astype(dt), "wkv": wkv.astype(dt), "wo": wo}
     return {
         "wq": (scale * jax.random.normal(k1, (d, self.n_heads, hd))).astype(dt),
         "wk": (scale * jax.random.normal(k2, (d, self.n_kv, hd))).astype(dt),
         "wv": (scale * jax.random.normal(k3, (d, self.n_kv, hd))).astype(dt),
-        "wo": ((self.n_heads * hd) ** -0.5
-               * jax.random.normal(k4, (d, self.n_heads, hd))).astype(dt),
+        "wo": wo,
     }
 
   def apply(self, params, x, positions, mask, cache=None, cache_index=None,
@@ -247,15 +260,26 @@ class Attention(Module):
     Returns (out, new_cache)."""
     cfg, sh = self.cfg, self.sh
     adt = jnp.dtype(cfg.activation_dtype)
-    wq = _constrain(_maybe_dequant(params["wq"], adt), sh.attn_qkv)
-    wk = _constrain(_maybe_dequant(params["wk"], adt), sh.attn_qkv)
-    wv = _constrain(_maybe_dequant(params["wv"], adt), sh.attn_qkv)
     wo = _constrain(_maybe_dequant(params["wo"], adt), sh.attn_o)
     x = x.astype(adt)
 
-    q = jnp.einsum("btd,dnh->btnh", x, wq)
-    k = jnp.einsum("btd,dnh->btnh", x, wk)
-    v = jnp.einsum("btd,dnh->btnh", x, wv)
+    if "wqkv" in params:  # combined qkv, heads match
+      stacked_spec = P(None, *sh.attn_qkv)  # hero model_lib.py:606
+      wqkv = _constrain(_maybe_dequant(params["wqkv"], adt), stacked_spec)
+      q, k, v = jnp.einsum("btd,cdnh->cbtnh", x, wqkv)
+    elif "wkv" in params:  # combined kv under GQA
+      wq = _constrain(_maybe_dequant(params["wq"], adt), sh.attn_qkv)
+      q = jnp.einsum("btd,dnh->btnh", x, wq)
+      wkv = _constrain(_maybe_dequant(params["wkv"], adt),
+                       P(None, *sh.attn_qkv))
+      k, v = jnp.einsum("btd,cdnh->cbtnh", x, wkv)
+    else:
+      wq = _constrain(_maybe_dequant(params["wq"], adt), sh.attn_qkv)
+      wk = _constrain(_maybe_dequant(params["wk"], adt), sh.attn_qkv)
+      wv = _constrain(_maybe_dequant(params["wv"], adt), sh.attn_qkv)
+      q = jnp.einsum("btd,dnh->btnh", x, wq)
+      k = jnp.einsum("btd,dnh->btnh", x, wk)
+      v = jnp.einsum("btd,dnh->btnh", x, wv)
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
     q = q * (self.head_dim ** -0.5)

@@ -137,11 +137,17 @@ def test_lm_loss_masked():
   np.testing.assert_allclose(float(loss), np.log(8), rtol=1e-5)
 
 
-def test_gspmd_sharded_train_step():
+import pytest
+
+
+@pytest.mark.parametrize("combined_qkv", [False, True])
+def test_gspmd_sharded_train_step(combined_qkv):
   """Tensor-parallel sharding on an 8-device CPU mesh: jit a loss/grad step
-  with hero-style PartitionSpecs under a (1, 2, 4) mesh."""
+  with hero-style PartitionSpecs under a (1, 2, 4) mesh (both qkv layouts:
+  the combined [3,d,n,h] weight gets the None-prefixed pspec)."""
   from automl_tpu.parallel import create_mesh
   cfg = tiny_cfg(use_remat=True)
+  cfg.use_combined_qkv = combined_qkv
   sharding = lm_lib.ShardingConfig()
   model = lm_lib.TransformerLM(cfg, sharding)
   mesh = create_mesh((1, 2, 4))
@@ -440,3 +446,52 @@ def test_lm_experiment_config_registry():
   # the tiny config trains end-to-end through the CLI path
   tiny = get_lm_config("lm-test")
   assert tiny.num_train_steps == 8 and tiny.vocab_size == 384
+
+
+def test_combined_qkv_matches_separate():
+  """use_combined_qkv (hero model_lib.py:562, stacked [3,d,n,h] / [2,d,nkv,h]
+  layouts) computes the identical function when weights are stacked from the
+  separate projections — both MHA and GQA forms, train and decode paths."""
+  for n_kv in (4, 2):  # heads match -> wqkv; GQA -> wq + wkv
+    cfg = tiny_cfg(use_remat=False)
+    cfg.n_kv_heads = n_kv
+    model_sep = lm_lib.TransformerLM(cfg)
+    params = model_sep.init(jax.random.key(0))
+
+    cfg_c = tiny_cfg(use_remat=False)
+    cfg_c.n_kv_heads = n_kv
+    cfg_c.use_combined_qkv = True
+    model_c = lm_lib.TransformerLM(cfg_c)
+
+    def to_combined(block, axis):
+      # axis=1 for scan-stacked [L, ...] weights (qkv axis sits after L)
+      attn = block["attn"]
+      out = dict(block)
+      if n_kv == cfg.n_heads:
+        out["attn"] = {"wqkv": jnp.stack([attn["wq"], attn["wk"],
+                                          attn["wv"]], axis=axis),
+                       "wo": attn["wo"]}
+      else:
+        out["attn"] = {"wq": attn["wq"],
+                       "wkv": jnp.stack([attn["wk"], attn["wv"]],
+                                        axis=axis),
+                       "wo": attn["wo"]}
+      return out
+
+    params_c = dict(params)
+    if isinstance(params["blocks"], list):
+      params_c["blocks"] = [to_combined(b, 0) for b in params["blocks"]]
+    else:
+      params_c["blocks"] = to_combined(params["blocks"], 1)
+
+    tokens = jax.random.randint(jax.random.key(1), (2, 10), 0, 64)
+    full_sep, _ = model_sep(params, tokens)
+    full_c, _ = model_c(params_c, tokens)
+    np.testing.assert_allclose(np.asarray(full_c), np.asarray(full_sep),
+                               atol=2e-5)
+
+    out = lm_lib.greedy_generate(model_c, params_c, tokens[:, :4],
+                                 max_new_tokens=4)
+    want = lm_lib.greedy_generate(model_sep, params, tokens[:, :4],
+                                  max_new_tokens=4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))

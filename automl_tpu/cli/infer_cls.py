@@ -23,6 +23,9 @@ def parse_args(argv=None):
   p.add_argument("--tf_ckpt", action="store_true",
                  help="ckpt_path is a published TF checkpoint")
   p.add_argument("--use_ema", action="store_true")
+  p.add_argument("--dataset", default=None,
+                 help="dataset config overlay (e.g. imagenet21k -> "
+                      "multiclass AUC-PR eval)")
   p.add_argument("--hparam_str", default="")
   p.add_argument("--batch_size", type=int, default=8)
   p.add_argument("--bm_runs", type=int, default=10)
@@ -44,6 +47,10 @@ def main(argv=None):
   from automl_tpu.models import build_model
 
   config = get_model_config(args.model_name)
+  if args.dataset:
+    from automl_tpu.data import datasets as ds_lib
+    config.override(ds_lib.get_dataset_config(args.dataset).as_dict(),
+                    allow_new_keys=True)
   config.override(args.hparam_str)
   nn.set_policy("mixed_bfloat16" if config.runtime.mixed_precision
                 else "float32")
@@ -98,6 +105,27 @@ def main(argv=None):
                                for i in top5]}))
   elif args.runmode == "eval":
     from automl_tpu.data import pipeline
+    if config.data.get("multiclass"):
+      # ImageNet21k-style multilabel: AUC-PR + precision@1
+      # (ref: efficientnetv2/main.py:231-287 tf.metrics.AUC(curve='PR'))
+      from automl_tpu.data.datasets import multihot_on_device
+      from automl_tpu.eval.classification import MultiLabelEvaluator
+      loader = pipeline.MultiLabelTFRecordLoader(
+          args.val_file_pattern, is_training=False,
+          batch_size=args.batch_size, canvas_size=canvas,
+          max_labels=int(config.data.get("max_labels", 16)),
+          drop_remainder=False)
+      ev = MultiLabelEvaluator()
+      for batch in loader:
+        logits = predict(params, jnp.asarray(batch["image"]))
+        labels = multihot_on_device(jnp.asarray(batch["label_ids"]),
+                                    config.data.num_classes)
+        ev.add_batch(np.asarray(logits), np.asarray(labels))
+        if ev.num_examples >= args.eval_samples:
+          break
+      print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                        for k, v in ev.result().items()}))
+      return
     loader = pipeline.ImageNetTFRecordLoader(
         args.val_file_pattern, is_training=False,
         batch_size=args.batch_size, canvas_size=canvas,

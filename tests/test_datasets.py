@@ -193,3 +193,72 @@ def test_finetune_smoke_from_converted_ckpt(tmp_path):
     assert np.isfinite(metrics["loss"])
   finally:
     nn.set_policy("mixed_bfloat16")
+
+
+def test_average_precision_pr_golden():
+  """AUC-PR metric (ref: efficientnetv2/main.py:231-287 AUC(curve='PR')):
+  hand-computed average-precision cases."""
+  from automl_tpu.eval.classification import (MultiLabelEvaluator,
+                                              average_precision_pr,
+                                              precision_at_1)
+  # perfect ranking -> AP 1.0
+  s = np.array([[0.9, 0.1], [0.8, 0.2]])
+  y = np.array([[1, 0], [1, 0]])
+  assert average_precision_pr(s, y) == 1.0
+  # ranking [pos, neg, pos, neg]: AP = (1/1 + 2/3) / 2
+  s = np.array([[0.9, 0.7], [0.8, 0.6]])
+  y = np.array([[1, 1], [0, 0]])
+  np.testing.assert_allclose(average_precision_pr(s, y),
+                             (1.0 + 2.0 / 3.0) / 2)
+  assert average_precision_pr(s, np.zeros_like(y)) == 0.0
+  assert precision_at_1(s, y) == 0.5  # ex0 top is class0 (pos), ex1 class0 (neg)
+
+  ev = MultiLabelEvaluator()
+  ev.add_batch(s[:1], y[:1])
+  ev.add_batch(s[1:], y[1:])
+  r = ev.result()
+  assert r["samples"] == 2
+  np.testing.assert_allclose(r["auc_pr"], (1.0 + 2.0 / 3.0) / 2)
+
+
+def test_multilabel_tfrecord_loader_and_eval(tmp_path):
+  """Round trip: write {image, labels} TFRecords (the 21k schema,
+  ref: efficientnetv2/datasets.py:481-489), load through
+  MultiLabelTFRecordLoader, and score with the AUC-PR evaluator."""
+  import tensorflow as tf
+  from automl_tpu.data.pipeline import MultiLabelTFRecordLoader
+  from automl_tpu.eval.classification import MultiLabelEvaluator
+
+  path = str(tmp_path / "ml-00000-of-00001")
+  rng = np.random.RandomState(0)
+  with tf.io.TFRecordWriter(path) as w:
+    for i in range(6):
+      img = rng.randint(0, 255, (20, 24, 3), np.uint8)
+      jpeg = tf.io.encode_jpeg(img).numpy()
+      ex = tf.train.Example(features=tf.train.Features(feature={
+          "image": tf.train.Feature(
+              bytes_list=tf.train.BytesList(value=[jpeg])),
+          "labels": tf.train.Feature(
+              int64_list=tf.train.Int64List(value=[i % 5, (i + 2) % 5])),
+      }))
+      w.write(ex.SerializeToString())
+
+  loader = MultiLabelTFRecordLoader(path, is_training=False, batch_size=4,
+                                    canvas_size=16, max_labels=3,
+                                    drop_remainder=False)
+  ev = MultiLabelEvaluator()
+  n = 0
+  for batch in loader:
+    assert batch["image"].shape[1:] == (16, 16, 3)
+    assert batch["label_ids"].shape[1:] == (3,)
+    # pad ids are -1; real ids in [0, 5)
+    assert (batch["label_ids"] >= -1).all() and (batch["label_ids"] < 5).all()
+    multihot = np.zeros((len(batch["label_ids"]), 5), np.int8)
+    for r, ids in enumerate(batch["label_ids"]):
+      for c in ids[ids >= 0]:
+        multihot[r, c] = 1
+    ev.add_batch(rng.rand(len(multihot), 5), multihot)
+    n += len(multihot)
+  assert n == 6
+  r = ev.result()
+  assert r["samples"] == 6 and 0.0 <= r["auc_pr"] <= 1.0

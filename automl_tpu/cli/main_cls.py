@@ -32,6 +32,8 @@ def parse_args(argv=None):
                  help="host:port for jax.distributed multi-process runs")
   p.add_argument("--num_processes", type=int, default=None)
   p.add_argument("--process_id", type=int, default=None)
+  p.add_argument("--compilation_cache_dir", default=None,
+                 help="persistent XLA compile cache; 'auto' = ~/.cache/automl_tpu/xla")
   p.add_argument("--seed", type=int, default=0)
   return p.parse_args(argv)
 
@@ -42,6 +44,10 @@ def main(argv=None):
   from automl_tpu.parallel import distributed
   distributed.initialize(args.coordinator_address, args.num_processes,
                          args.process_id)
+  if args.compilation_cache_dir:
+    from automl_tpu.utils import enable_compilation_cache
+    enable_compilation_cache(None if args.compilation_cache_dir == "auto"
+                             else args.compilation_cache_dir)
   from automl_tpu.configs.effnet_configs import get_model_config
   from automl_tpu.data import pipeline
   from automl_tpu.train import runners

@@ -39,10 +39,17 @@ def parse_args(argv=None):
                  help="published TF EfficientNet ckpt to warm-start backbone")
   p.add_argument("--profile", action="store_true",
                  help="capture an xprof trace of steps 10-14 into model_dir")
+  p.add_argument("--run_epoch_in_child_process", action="store_true",
+                 help="train each epoch in a forked child process (contains "
+                      "host-memory leaks; nonzero exits propagate; each "
+                      "child resumes from the latest checkpoint. "
+                      "ref: efficientdet/main.py:113-117, 352-357)")
   p.add_argument("--coordinator_address", default=None,
                  help="host:port for jax.distributed multi-process runs")
   p.add_argument("--num_processes", type=int, default=None)
   p.add_argument("--process_id", type=int, default=None)
+  p.add_argument("--compilation_cache_dir", default=None,
+                 help="persistent XLA compile cache; 'auto' = ~/.cache/automl_tpu/xla")
   p.add_argument("--seed", type=int, default=0)
   return p.parse_args(argv)
 
@@ -74,6 +81,10 @@ def main(argv=None):
   from automl_tpu.parallel import distributed
   distributed.initialize(args.coordinator_address, args.num_processes,
                          args.process_id)
+  if args.compilation_cache_dir:
+    from automl_tpu.utils import enable_compilation_cache
+    enable_compilation_cache(None if args.compilation_cache_dir == "auto"
+                             else args.compilation_cache_dir)
   from automl_tpu.configs.efficientdet_configs import get_efficientdet_config
   from automl_tpu.data import pipeline
   from automl_tpu.train import runners
@@ -94,14 +105,19 @@ def main(argv=None):
                 if args.mesh_shape else None)
   size = parse_image_size(config.image_size)
 
+  def make_train_iter():
+    if args.train_file_pattern and not args.use_fake_data:
+      return iter(pipeline.DetectionTFRecordLoader(
+          args.train_file_pattern, is_training=True, batch_size=local_batch,
+          canvas_size=size[0],
+          max_instances=config.max_instances_per_image,
+          skip_crowd_during_training=config.skip_crowd_during_training,
+          shard_index=proc_id, num_shards=n_proc))
+    return None
+
   train_iter = None
-  if args.train_file_pattern and not args.use_fake_data:
-    train_iter = iter(pipeline.DetectionTFRecordLoader(
-        args.train_file_pattern, is_training=True, batch_size=local_batch,
-        canvas_size=size[0],
-        max_instances=config.max_instances_per_image,
-        skip_crowd_during_training=config.skip_crowd_during_training,
-        shard_index=proc_id, num_shards=n_proc))
+  if not args.run_epoch_in_child_process:
+    train_iter = make_train_iter()
 
   eval_iter = None
   eval_steps = 0
@@ -154,6 +170,38 @@ def main(argv=None):
     if metrics is None:
       raise FileNotFoundError(f"no checkpoint in {args.model_dir}/ckpt")
     return metrics
+
+  if args.run_epoch_in_child_process:
+    # One child process per epoch: each child re-execs this CLI with the
+    # epoch's cumulative step budget and exits, so host-memory leaks die
+    # with it; training resumes from the latest checkpoint each time —
+    # the contract the reference's Estimator child relies on
+    # (ref: efficientdet/main.py:113-117, 352-357). A fresh interpreter
+    # (not fork) because the JAX backend is already initialized here.
+    import subprocess
+    import sys
+    steps_per_epoch = max(args.num_examples_per_epoch // batch_size, 1)
+    epoch_ends = list(range(steps_per_epoch, train_steps, steps_per_epoch))
+    epoch_ends.append(train_steps)
+    base = [sys.executable, "-m", "automl_tpu.cli.main_det",
+            "--mode=train", f"--model_dir={args.model_dir}",
+            f"--model_name={args.model_name}", f"--seed={args.seed}",
+            f"--num_examples_per_epoch={args.num_examples_per_epoch}"]
+    if args.hparams:
+      base.append(f"--hparams={args.hparams}")
+    if args.train_file_pattern:
+      base.append(f"--train_file_pattern={args.train_file_pattern}")
+    if args.use_fake_data:
+      base.append("--use_fake_data")
+    if args.mesh_shape:
+      base.append(f"--mesh_shape={args.mesh_shape}")
+    if args.init_backbone_ckpt:
+      base.append(f"--init_backbone_ckpt={args.init_backbone_ckpt}")
+    for end in epoch_ends:
+      rc = subprocess.call(base + [f"--train_steps={end}"])
+      if rc != 0:
+        raise SystemExit(rc)  # propagate (ref: main.py:355-357)
+    return {"train_steps": float(train_steps)}
 
   metrics = runners.run_detection(
       config, args.model_dir, train_steps, mesh_shape=mesh_shape,

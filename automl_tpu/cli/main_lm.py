@@ -50,6 +50,8 @@ def parse_args(argv=None):
   p.add_argument("--eval_steps", type=int, default=None)
   p.add_argument("--ckpt_every", type=int, default=0)
   p.add_argument("--batch_size", type=int, default=None)
+  p.add_argument("--compilation_cache_dir", default=None,
+                 help="persistent XLA compile cache; 'auto' = ~/.cache/automl_tpu/xla")
   p.add_argument("--seed", type=int, default=0)
   return p.parse_args(argv)
 
@@ -60,6 +62,10 @@ def main(argv=None):
   from automl_tpu.parallel import distributed
   distributed.initialize(args.coordinator_address, args.num_processes,
                          args.process_id)
+  if args.compilation_cache_dir:
+    from automl_tpu.utils import enable_compilation_cache
+    enable_compilation_cache(None if args.compilation_cache_dir == "auto"
+                             else args.compilation_cache_dir)
   from automl_tpu.models import lm as lm_lib
   from automl_tpu.train import lm_trainer
 

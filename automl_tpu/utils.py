@@ -41,3 +41,23 @@ def global_norm(tree) -> jnp.ndarray:
   leaves = [jnp.sum(jnp.square(x.astype(jnp.float32)))
             for x in jax.tree_util.tree_leaves(tree)]
   return jnp.sqrt(jnp.sum(jnp.stack(leaves)))
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+  """Turn on JAX's persistent compilation cache (XLA compiles of the big
+  models take minutes on TPU; the reference's Estimator amortized graph
+  builds the same way). Default dir: $JAX_COMPILATION_CACHE_DIR, else
+  ~/.cache/automl_tpu/xla. Returns the dir used, or None on failure."""
+  import os
+  import jax
+  cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+               or os.path.join(os.path.expanduser("~"), ".cache",
+                               "automl_tpu", "xla"))
+  try:
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache every compile, not just the >1s ones (tiny-config smoke runs)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return cache_dir
+  except Exception:
+    return None

@@ -147,3 +147,25 @@ def test_eval_state_template_matches_training_checkpoint(tmp_path):
     assert state.ema_params is not None
   finally:
     nn.set_policy("mixed_bfloat16")
+
+
+def test_run_epoch_in_child_process(tmp_path):
+  """Per-epoch child-process isolation (ref: efficientdet/main.py:113-117,
+  352-357): children train to cumulative step budgets, resume from the
+  latest checkpoint, and the final checkpoint reflects all steps."""
+  from automl_tpu.cli import main_det
+  from automl_tpu.train.checkpoint import CheckpointManager
+
+  d = str(tmp_path / "det")
+  # children are fresh interpreters: share a persistent compile cache so
+  # the second epoch's child doesn't pay the full XLA compile again
+  os.environ["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "xla_cache")
+  try:
+    out = main_det.main([
+        "--model_name=efficientdet-test", f"--model_dir={d}",
+        "--train_steps=2", "--num_examples_per_epoch=1", "--use_fake_data",
+        "--run_epoch_in_child_process"])
+  finally:
+    os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+  assert out["train_steps"] == 2.0
+  assert CheckpointManager(f"{d}/ckpt").latest_step() == 2

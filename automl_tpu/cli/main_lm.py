@@ -21,7 +21,10 @@ def parse_args(argv=None):
   p.add_argument("--experiment_config", default="",
                  help="override string onto lm_defaults()")
   p.add_argument("--sharding_config", default="gspmd",
-                 choices=["gspmd", "dp"])
+                 choices=["gspmd", "dp", "sp"],
+                 help="gspmd = hero tensor-parallel pspecs; dp = replicated "
+                      "weights; sp = sequence-parallel (ring attention over "
+                      "'model'; pair with use_ring_attention=true)")
   p.add_argument("--mesh_shape", default=None, help="e.g. 1,2,4")
   p.add_argument("--dcn_mesh_shape", default=None,
                  help="multi-slice outer mesh, e.g. 2,1,1 (DCN axis; "
@@ -83,8 +86,12 @@ def main(argv=None):
     v = getattr(args, flag)
     if v is not None:
       config[key] = v
-  sharding = (lm_lib.ShardingConfig() if args.sharding_config == "gspmd"
-              else lm_lib.ShardingConfig.data_parallel())
+  sharding = {"gspmd": lm_lib.ShardingConfig,
+              "dp": lm_lib.ShardingConfig.data_parallel,
+              "sp": lm_lib.ShardingConfig.sequence_parallel}[
+                  args.sharding_config]()
+  if args.sharding_config == "sp":
+    config.use_ring_attention = True
   mesh_shape = (tuple(int(x) for x in args.mesh_shape.split(","))
                 if args.mesh_shape else None)
   data_iter = None

@@ -61,6 +61,9 @@ def lm_defaults() -> Config:
       use_flash_attention=False,  # Pallas kernel for train/prefill attention
       use_combined_qkv=False,     # stacked [3,d,n,h] qkv matmul (hero
                                   # model_lib.py:562; fewer decode dispatches)
+      use_ring_attention=False,   # sequence-parallel ring attention over the
+                                  # mesh 'model' axis (BEYOND the reference:
+                                  # hero never shards seq — config_lib.py:86-98)
       tie_embeddings=True,
       use_scan=True,
       use_remat=True,
@@ -150,6 +153,18 @@ class ShardingConfig:
     return cls(embed=none, attn_qkv=none, attn_o=none, ffn0=none, ffn1=none,
                norm_scale=none, activation=act, logits=act,
                cache=P(("replica", "data"), None, None, None))
+
+  @classmethod
+  def sequence_parallel(cls):
+    """Context parallelism: weights replicated, activations sharded over
+    (batch, SEQUENCE) — pair with use_ring_attention. Everything except
+    attention is elementwise/contracting over the model dim, so only
+    attention needs cross-device communication (the ppermute ring)."""
+    none = P()
+    act = P(("replica", "data"), "model", None)
+    return cls(embed=none, attn_qkv=none, attn_o=none, ffn0=none, ffn1=none,
+               norm_scale=none, activation=act, logits=act,
+               cache=P(("replica", "data"), "model", None, None))
 
 
 def _constrain(x, pspec: Optional[P]):
@@ -306,6 +321,29 @@ class Attention(Module):
                                  segment_ids=segment_ids)
         out = jnp.einsum("bqnh,dnh->bqd", out.astype(adt), wo)
         return _constrain(out, sh.activation), new_cache
+      if cfg.get("use_ring_attention"):
+        # sequence-parallel ring attention over the mesh 'model' axis
+        # (context parallelism — not present in the reference)
+        mesh = jax.sharding.get_abstract_mesh()
+        if (mesh is not None and not mesh.empty
+            and mesh.shape.get("model", 1) > 1):
+          if segment_ids is not None or cfg.window_size:
+            raise NotImplementedError(
+                "ring attention: causal full-context only (no packed "
+                "segments / sliding window yet)")
+          from automl_tpu.ops.ring_attention import ring_attention_sharded
+          kk, vv = k, v
+          if self.n_kv != self.n_heads:
+            rep = self.n_heads // self.n_kv
+            kk = jnp.repeat(kk, rep, axis=2)
+            vv = jnp.repeat(vv, rep, axis=2)
+          out = ring_attention_sharded(
+              q, kk, vv, mesh, seq_axis="model", causal=True,
+              sm_scale=1.0,  # q is pre-scaled above
+              logit_cap=cfg.attn_logit_cap or 0.0)
+          out = jnp.einsum("bqnh,dnh->bqd", out.astype(adt), wo)
+          return _constrain(out, sh.activation), new_cache
+        # no mesh / model axis of 1: fall through to the dense path
       if cfg.get("use_flash_attention"):
         # Pallas flash kernel: full-sequence causal(+window) path
         # (training / prefill-without-cache; decode keeps the einsum path).
@@ -548,8 +586,14 @@ class TransformerLM(Module):
     x = _constrain(x, self.sh.activation)
     # Flash / chunked-local full-sequence paths consume positions +
     # segment_ids directly — skip materializing the [B, T, T] mask there.
+    ring_active = False
+    if cfg.get("use_ring_attention") and cache is None:
+      mesh = jax.sharding.get_abstract_mesh()
+      ring_active = (mesh is not None and not mesh.empty
+                     and mesh.shape.get("model", 1) > 1)
     uses_fused_mask = cache is None and (
-        cfg.get("use_flash_attention")
+        ring_active
+        or cfg.get("use_flash_attention")
         or (cfg.get("use_window_chunk") and cfg.get("window_chunk_size")))
     mask = (None if uses_fused_mask
             else self._mask(positions, kv_positions, segment_ids))

@@ -327,10 +327,6 @@ class Attention(Module):
         mesh = jax.sharding.get_abstract_mesh()
         if (mesh is not None and not mesh.empty
             and mesh.shape.get("model", 1) > 1):
-          if segment_ids is not None or cfg.window_size:
-            raise NotImplementedError(
-                "ring attention: causal full-context only (no packed "
-                "segments / sliding window yet)")
           from automl_tpu.ops.ring_attention import ring_attention_sharded
           kk, vv = k, v
           if self.n_kv != self.n_heads:
@@ -338,7 +334,8 @@ class Attention(Module):
             kk = jnp.repeat(kk, rep, axis=2)
             vv = jnp.repeat(vv, rep, axis=2)
           out = ring_attention_sharded(
-              q, kk, vv, mesh, seq_axis="model", causal=True,
+              q, kk, vv, mesh, segment_ids=segment_ids,
+              seq_axis="model", causal=True, window=cfg.window_size,
               sm_scale=1.0,  # q is pre-scaled above
               logit_cap=cfg.attn_logit_cap or 0.0)
           out = jnp.einsum("bqnh,dnh->bqd", out.astype(adt), wo)

@@ -66,13 +66,17 @@ def _block_attend(q, k, v, mask, *, sm_scale: float, logit_cap: float,
   return m_new, l_new, acc_new
 
 
-def ring_attention(q, k, v, *, axis_name: str, causal: bool = True,
+def ring_attention(q, k, v, segment_ids=None, *, axis_name: str,
+                   causal: bool = True, window: int | None = None,
                    sm_scale: float | None = None, logit_cap: float = 0.0):
   """Causal attention over a sequence sharded along `axis_name`.
 
   Call inside shard_map; q, k, v are this device's [B, T_local, N, H]
   chunks (device i holds global positions [i*T_local, (i+1)*T_local)).
-  Returns this device's [B, T_local, N, H] output chunk.
+  segment_ids: optional [B, T_local] packed-document ids — rides the ring
+  with K/V so cross-document attention is masked exactly as in the dense
+  path. window: optional sliding-window size (key visible iff
+  q_pos - window < k_pos <= q_pos). Returns this device's output chunk.
   GQA: repeat K/V heads to match Q before calling.
   """
   b, t, n, h = q.shape
@@ -85,26 +89,55 @@ def ring_attention(q, k, v, *, axis_name: str, causal: bool = True,
   # send my block to the next device each step; after s steps I hold
   # block (my - s) mod ring
   perm = [(j, (j + 1) % ring) for j in range(ring)]
+  q_seg = segment_ids
+  # the placeholder must carry k's device-varying type (vma) through the
+  # ppermute in the loop body, hence the empty slice of k, not jnp.zeros
+  k_seg0 = (segment_ids if segment_ids is not None
+            else k[:, :0, 0, 0].astype(jnp.int32))
 
   def body(step, carry):
-    k_blk, v_blk, m, l, acc = carry
+    k_blk, v_blk, k_seg, m, l, acc = carry
     src = (my - step) % ring
     mask = None
     if causal:
-      # global-position causal mask covers all three block relations in
-      # one pass: past blocks all-visible, the diagonal triangular, and a
-      # future block all-masked is a no-op through the recurrence
-      # (p == 0, m/l/acc carried unchanged)
+      # global-position mask covers all block relations in one pass: past
+      # blocks all-visible, the diagonal triangular, and a fully-masked
+      # future block is a no-op through the recurrence (p == 0)
       qpos = my * t + jnp.arange(t)
       kpos = src * t + jnp.arange(t)
       mask = kpos[None, :] <= qpos[:, None]
-    m, l, acc = _block_attend(
-        qf, k_blk.astype(jnp.float32), v_blk.astype(jnp.float32), mask,
-        sm_scale=sm_scale, logit_cap=logit_cap,
-        m_prev=m, l_prev=l, acc_prev=acc)
+      if window:
+        mask &= kpos[None, :] > qpos[:, None] - window
+    if q_seg is not None:
+      seg_ok = q_seg[:, :, None] == k_seg[:, None, :]  # [B, Tq, Tk]
+      base = mask[None] if mask is not None else True
+      m_, l_, acc_ = m, l, acc
+      # per-batch mask path: fold batch into _block_attend via expanded mask
+      s = jnp.einsum("bqnh,bknh->bqnk", qf, k_blk.astype(jnp.float32)
+                     ).astype(jnp.float32) * sm_scale
+      if logit_cap:
+        s = logit_cap * jnp.tanh(s / logit_cap)
+      full_mask = jnp.broadcast_to(base & seg_ok, (b, t, t))
+      s = jnp.where(full_mask[:, :, None, :], s, NEG_INF)
+      m_new = jnp.maximum(m_, jnp.max(s, axis=-1))
+      safe_m = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
+      p = jnp.where(full_mask[:, :, None, :],
+                    jnp.exp(s - safe_m[..., None]), 0.0)
+      corr = jnp.exp(jnp.where(m_ <= NEG_INF / 2, NEG_INF, m_ - safe_m))
+      l = l_ * corr + jnp.sum(p, axis=-1)
+      acc = (acc_ * corr[..., None]
+             + jnp.einsum("bqnk,bknh->bqnh", p,
+                          v_blk.astype(jnp.float32)))
+      m = m_new
+    else:
+      m, l, acc = _block_attend(
+          qf, k_blk.astype(jnp.float32), v_blk.astype(jnp.float32), mask,
+          sm_scale=sm_scale, logit_cap=logit_cap,
+          m_prev=m, l_prev=l, acc_prev=acc)
     k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
     v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-    return k_blk, v_blk, m, l, acc
+    k_seg = jax.lax.ppermute(k_seg, axis_name, perm)
+    return k_blk, v_blk, k_seg, m, l, acc
 
   # build the initial carry FROM q so it inherits q's device-varying type
   # (shard_map's vma system requires carry-in == carry-out types)
@@ -112,26 +145,35 @@ def ring_attention(q, k, v, *, axis_name: str, causal: bool = True,
   m0 = zeros + NEG_INF
   l0 = zeros
   acc0 = qf * 0.0
-  _, _, m, l, acc = jax.lax.fori_loop(0, ring, body, (k, v, m0, l0, acc0))
+  _, _, _, m, l, acc = jax.lax.fori_loop(
+      0, ring, body, (k, v, k_seg0, m0, l0, acc0))
   out = acc / jnp.maximum(l, 1e-30)[..., None]
   return out.astype(q.dtype)
 
 
-def ring_attention_sharded(q, k, v, mesh, *, seq_axis: str = "model",
+def ring_attention_sharded(q, k, v, mesh, segment_ids=None, *,
+                           seq_axis: str = "model",
                            batch_axes=("replica", "data"),
-                           causal: bool = True,
+                           causal: bool = True, window: int | None = None,
                            sm_scale: float | None = None,
                            logit_cap: float = 0.0):
   """Convenience wrapper: shard_map ring_attention over `mesh`.
 
-  q, k, v: [B, T, N, H] global arrays (T divisible by the ring size).
+  q, k, v: [B, T, N, H] global arrays (T divisible by the ring size);
+  segment_ids: optional [B, T].
   """
   from jax.sharding import PartitionSpec as P
   shard_map = getattr(jax, "shard_map", None)
   if shard_map is None:  # older jax
     from jax.experimental.shard_map import shard_map
   spec = P(batch_axes, seq_axis, None, None)
+  seg_spec = P(batch_axes, seq_axis)
   fn = functools.partial(ring_attention, axis_name=seq_axis, causal=causal,
-                         sm_scale=sm_scale, logit_cap=logit_cap)
-  return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
-                   out_specs=spec)(q, k, v)
+                         window=window, sm_scale=sm_scale,
+                         logit_cap=logit_cap)
+  if segment_ids is None:
+    return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec)(q, k, v)
+  return shard_map(fn, mesh=mesh,
+                   in_specs=(spec, spec, spec, seg_spec),
+                   out_specs=spec)(q, k, v, segment_ids)

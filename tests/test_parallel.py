@@ -106,3 +106,54 @@ def test_ring_attention_matches_dense():
   for a, b_ in zip(g1, g2):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                atol=5e-5, rtol=1e-3)
+
+
+def test_ring_attention_window_and_segments():
+  """Ring attention with a sliding window and packed-segment masking ==
+  dense with the same masks (segment ids ride the ring with K/V)."""
+  import functools
+  from automl_tpu.ops.ring_attention import ring_attention_sharded
+  from automl_tpu.parallel import create_mesh
+
+  b, t, n, h = 2, 32, 2, 8
+  keys = jax.random.split(jax.random.key(3), 3)
+  q, k, v = (jax.random.normal(kk, (b, t, n, h)) for kk in keys)
+  seg = jnp.concatenate([jnp.zeros((b, 12), jnp.int32),
+                         jnp.ones((b, 9), jnp.int32),
+                         jnp.full((b, 11), 2, jnp.int32)], axis=1)
+  mesh = create_mesh((1, 1, 8))
+
+  def dense(q, k, v, window=None, seg=None):
+    s = jnp.einsum("bqnh,bknh->bqnk", q, k) * (h ** -0.5)
+    qi = jnp.arange(t)[:, None]
+    kj = jnp.arange(t)[None, :]
+    mask = (kj <= qi)
+    if window:
+      mask &= kj > qi - window
+    mask = jnp.broadcast_to(mask[None], (b, t, t))
+    if seg is not None:
+      mask &= seg[:, :, None] == seg[:, None, :]
+    s = jnp.where(mask[:, :, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqnk,bknh->bqnh", p, v)
+
+  # window only (crosses device-chunk boundaries: T_local = 4, window 7)
+  out = jax.jit(functools.partial(ring_attention_sharded, mesh=mesh,
+                                  window=7))(q, k, v)
+  np.testing.assert_allclose(np.asarray(out),
+                             np.asarray(dense(q, k, v, window=7)),
+                             atol=2e-5, rtol=1e-4)
+
+  # segments only (doc boundaries not aligned to device chunks)
+  out = jax.jit(lambda q, k, v, s: ring_attention_sharded(
+      q, k, v, mesh, segment_ids=s))(q, k, v, seg)
+  np.testing.assert_allclose(np.asarray(out),
+                             np.asarray(dense(q, k, v, seg=seg)),
+                             atol=2e-5, rtol=1e-4)
+
+  # both
+  out = jax.jit(lambda q, k, v, s: ring_attention_sharded(
+      q, k, v, mesh, segment_ids=s, window=5))(q, k, v, seg)
+  np.testing.assert_allclose(np.asarray(out),
+                             np.asarray(dense(q, k, v, window=5, seg=seg)),
+                             atol=2e-5, rtol=1e-4)

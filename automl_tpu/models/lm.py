@@ -64,6 +64,11 @@ def lm_defaults() -> Config:
       use_ring_attention=False,   # sequence-parallel ring attention over the
                                   # mesh 'model' axis (BEYOND the reference:
                                   # hero never shards seq — config_lib.py:86-98)
+      use_pipeline=False,         # GPipe pipeline parallelism: layer stack
+                                  # staged over 'model' (also beyond the
+                                  # reference — hero scans all layers on
+                                  # every device, model_lib.py:1057-1076)
+      pipeline_microbatches=4,
       tie_embeddings=True,
       use_scan=True,
       use_remat=True,
@@ -180,6 +185,16 @@ def _constrain(x, pspec: Optional[P]):
     return jax.lax.with_sharding_constraint(x, pspec)
   except Exception:
     return x
+
+
+def _mesh_axis_active(axis: str) -> bool:
+  """True when a mesh with size(axis) > 1 is ambient (under jax.set_mesh)."""
+  try:
+    mesh = jax.sharding.get_abstract_mesh()
+    return (mesh is not None and not mesh.empty
+            and mesh.shape.get(axis, 1) > 1)
+  except Exception:
+    return False
 
 
 def _pspec_axes(pspec):
@@ -612,6 +627,26 @@ class TransformerLM(Module):
                            cache_index, segment_ids=segment_ids)
         new_caches.append(nc)
       new_cache = tuple(new_caches)
+    elif cfg.get("use_pipeline") and _mesh_axis_active("model"):
+      # GPipe pipeline: this device holds only its stage's layer slice;
+      # microbatches flow stage-to-stage on the ICI ring
+      from automl_tpu.parallel.pipeline import pipeline_blocks_sharded
+      if not cfg.use_scan:
+        raise ValueError("use_pipeline needs the stacked (use_scan) "
+                         "parameter layout")
+
+      def block_fn(layer_params, h, extras):
+        pos, msk, segs = extras
+        out, _ = self.block(layer_params, h, pos, msk, None, None,
+                            segment_ids=segs)
+        return out
+      if cfg.use_remat:
+        block_fn = jax.checkpoint(block_fn)
+      x = pipeline_blocks_sharded(
+          x, params["blocks"], (positions, mask, segment_ids),
+          block_fn=block_fn, mesh=jax.sharding.get_abstract_mesh(),
+          num_microbatches=int(cfg.get("pipeline_microbatches", 4)))
+      new_cache = None
     elif cfg.use_scan:
       def body(x, layer_params):
         out, nc = self.block(layer_params, x, positions, mask, None, None,

@@ -1,0 +1,126 @@
+"""Pipeline parallelism (GPipe schedule) over a named mesh axis.
+
+NOT present in the reference (SURVEY §2.7: hero scans all layers on every
+device, hero/model_lib.py:1057-1076) — this extends the framework beyond
+reference parity: layer memory per device drops by the stage count, so
+model depth scales with chips even without tensor parallelism.
+
+Design (TPU-native, everything inside one jit):
+- The stacked layer parameters [L, ...] are sharded over `axis_name`
+  (stage s holds layers [s*L/S, (s+1)*L/S)). Inside shard_map each device
+  scans only its own layers — weights never move.
+- Activations flow the ring: the input batch is split into M microbatches;
+  on schedule tick t, stage s processes microbatch (t - s) and passes the
+  result to stage s+1 with a neighbor ppermute (ICI-friendly: constant
+  payload, no all-to-all). The pipeline drains after M + S - 1 ticks, with
+  the classic GPipe bubble fraction (S-1)/(M+S-1).
+- Backward is pure autodiff: jax reverses the fori_loop and transposes
+  each ppermute, which IS the reverse pipeline schedule — no hand-written
+  backward pass.
+
+Embedding / final norm / logits run outside (they are cheap and stay under
+plain GSPMD); only the transformer-block stack is pipelined.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _stage_scan(block_fn, stage_params, x, extras):
+  """Apply this stage's layers (scan over the local layer slice)."""
+  def body(h, layer_params):
+    return block_fn(layer_params, h, extras), None
+  out, _ = jax.lax.scan(body, x, stage_params)
+  return out
+
+
+def pipeline_blocks(x, stage_params, extras=None, *, block_fn,
+                    axis_name: str, num_microbatches: int):
+  """Run a stack of layers pipelined over `axis_name` stages.
+
+  Call inside shard_map. x: [B, ...] input activations (replicated across
+  stages — every device sees the full batch and injects at stage 0);
+  stage_params: this stage's [L/S, ...] layer-param slice.
+  extras: optional pytree of per-example side inputs with leading dim B
+  (masks, positions); each stage slices the microbatch it is currently
+  processing and hands it to block_fn(layer_params, h, extras_mb).
+  Returns [B, ...] outputs, valid on every device (the last stage's
+  results are broadcast back with a psum).
+
+  B must be divisible by num_microbatches.
+  """
+  s_count = jax.lax.axis_size(axis_name)
+  me = jax.lax.axis_index(axis_name)
+  b = x.shape[0]
+  m = num_microbatches
+  assert b % m == 0, (b, m)
+  mb = b // m
+  # [M, mb, ...] microbatch stream
+  stream = x.reshape((m, mb) + x.shape[1:])
+  extras_stream = jax.tree_util.tree_map(
+      lambda e: e.reshape((m, mb) + e.shape[1:]), extras)
+
+  perm = [(j, (j + 1) % s_count) for j in range(s_count)]
+  ticks = m + s_count - 1
+
+  def tick(t, carry):
+    recv, ys = carry
+    # stage 0 injects microbatch t (clamped; out-of-range ticks process
+    # garbage that never gets stored), others consume what the previous
+    # stage sent last tick
+    inject = stream[jnp.minimum(t, m - 1)]
+    act = jnp.where(me == 0, inject, recv)
+    # stage s processes microbatch (t - s): slice its side inputs
+    my_idx = jnp.clip(t - me, 0, m - 1)
+    extras_mb = jax.tree_util.tree_map(
+        lambda e: jax.lax.dynamic_index_in_dim(e, my_idx, 0,
+                                               keepdims=False),
+        extras_stream)
+    out = _stage_scan(block_fn, stage_params, act, extras_mb)
+    # last stage stores its finished microbatch (valid when
+    # 0 <= t - (S-1) < M)
+    done_idx = t - (s_count - 1)
+    store = jnp.logical_and(me == s_count - 1,
+                            jnp.logical_and(done_idx >= 0, done_idx < m))
+    idx = jnp.clip(done_idx, 0, m - 1)
+    updated = jax.lax.dynamic_update_slice(
+        ys, out[None], (idx,) + (0,) * out.ndim)
+    ys = jnp.where(store, updated, ys)
+    recv = jax.lax.ppermute(out, axis_name, perm)
+    return recv, ys
+
+  recv0 = jnp.zeros_like(stream[0])
+  ys0 = jnp.zeros_like(stream)
+  if hasattr(jax.lax, "pvary"):
+    # the carry becomes device-varying over the stage axis inside the loop
+    # (me / ppermute); the initial carry must carry the same vma type
+    recv0 = jax.lax.pvary(recv0, axis_name)
+    ys0 = jax.lax.pvary(ys0, axis_name)
+  _, ys = jax.lax.fori_loop(0, ticks, tick, (recv0, ys0))
+  # results live on the last stage; broadcast to all stages
+  ys = jax.lax.psum(jnp.where(me == s_count - 1, ys, jnp.zeros_like(ys)),
+                    axis_name)
+  return ys.reshape(x.shape)
+
+
+def pipeline_blocks_sharded(x, stacked_params, extras=None, *, block_fn,
+                            mesh, stage_axis: str = "model",
+                            num_microbatches: int):
+  """shard_map wrapper: stacked_params [L, ...] sharded over `stage_axis`,
+  x / extras replicated. L must be divisible by the stage count."""
+  from jax.sharding import PartitionSpec as P
+  shard_map = getattr(jax, "shard_map", None)
+  if shard_map is None:  # older jax
+    from jax.experimental.shard_map import shard_map
+  param_specs = jax.tree_util.tree_map(lambda _: P(stage_axis), stacked_params)
+  extra_specs = jax.tree_util.tree_map(lambda _: P(), extras)
+  fn = functools.partial(pipeline_blocks, block_fn=block_fn,
+                         axis_name=stage_axis,
+                         num_microbatches=num_microbatches)
+  return shard_map(fn, mesh=mesh,
+                   in_specs=(P(), param_specs, extra_specs),
+                   out_specs=P())(x, stacked_params, extras)

@@ -69,6 +69,12 @@ def lm_defaults() -> Config:
                                   # reference — hero scans all layers on
                                   # every device, model_lib.py:1057-1076)
       pipeline_microbatches=4,
+      moe_num_experts=0,          # > 0: Mixture-of-Experts FFN, experts
+                                  # sharded over 'model' (expert parallelism
+                                  # — no MoE anywhere in the reference)
+      moe_top_k=1,
+      moe_capacity_factor=1.25,
+      moe_aux_loss_weight=0.01,   # Switch load-balance loss coefficient
       tie_embeddings=True,
       use_scan=True,
       use_remat=True,
@@ -495,13 +501,108 @@ class FFN(Module):
     return _constrain(out, sh.activation)
 
 
+class MoEFFN(Module):
+  """Mixture-of-Experts FFN: top-k routing with static capacity
+  (Switch/GShard-style), expert-parallel purely via GSPMD — the expert dim
+  is sharded over the mesh 'model' axis and XLA inserts the all-to-alls.
+
+  BEYOND the reference: google/automl has no MoE anywhere. Dispatch and
+  combine are one-hot einsums (MXU-friendly, fixed shapes); tokens past an
+  expert's capacity are dropped (the standard static-shape trade).
+  Returns (out, aux) where aux is the Switch load-balance loss
+  E * sum_e fraction_routed_e * mean_prob_e (== 1 at perfect balance).
+  """
+
+  def __init__(self, cfg: Config, sharding: ShardingConfig, name="moe"):
+    super().__init__(name)
+    self.cfg = cfg
+    self.sh = sharding
+    self.num_experts = int(cfg.moe_num_experts)
+    self.top_k = int(cfg.get("moe_top_k", 1) or 1)
+    self.capacity_factor = float(cfg.get("moe_capacity_factor", 1.25))
+
+  def init(self, key):
+    d = self.cfg.model_dim
+    hidden = self.cfg.expand_factor * d
+    e = self.num_experts
+    dt = jnp.dtype(self.cfg.param_dtype)
+    kr, k0, kg, k1 = jax.random.split(key, 4)
+    p = {
+        "router": (d ** -0.5
+                   * jax.random.normal(kr, (d, e))).astype(jnp.float32),
+        "w0": (d ** -0.5 * jax.random.normal(k0, (e, d, hidden))).astype(dt),
+        "w1": (hidden ** -0.5
+               * jax.random.normal(k1, (e, hidden, d))).astype(dt),
+    }
+    if self.cfg.use_gated_ffn:
+      p["wg"] = (d ** -0.5
+                 * jax.random.normal(kg, (e, d, hidden))).astype(dt)
+    return p
+
+  def apply(self, params, x):
+    adt = jnp.dtype(self.cfg.activation_dtype)
+    e, k = self.num_experts, self.top_k
+    b, t, d = x.shape
+    s = b * t
+    xf = x.reshape(s, d)
+    expert_spec = P("model", None, None)
+
+    logits = jnp.einsum("sd,de->se", xf.astype(jnp.float32),
+                        params["router"])
+    probs = jax.nn.softmax(logits, axis=-1)  # [S, E]
+    gate_vals, idx = jax.lax.top_k(probs, k)  # [S, k]
+    gate_vals = gate_vals / jnp.maximum(
+        jnp.sum(gate_vals, -1, keepdims=True), 1e-9)
+
+    # aux load-balance loss (Switch): E * sum_e f_e * P_e over top-1 routing
+    top1 = jax.nn.one_hot(idx[:, 0], e, dtype=jnp.float32)
+    aux = e * jnp.sum(jnp.mean(top1, axis=0) * jnp.mean(probs, axis=0))
+
+    capacity = max(1, int(self.capacity_factor * k * s / e))
+    # position of each (token, slot) within its expert, token-major
+    flat_e = idx.reshape(s * k)                       # [S*k]
+    e_mask = jax.nn.one_hot(flat_e, e, dtype=jnp.float32)
+    pos = jnp.cumsum(e_mask, axis=0) - e_mask         # [S*k, E]
+    pos_in_e = jnp.sum(pos * e_mask, axis=-1)         # [S*k]
+    keep = (pos_in_e < capacity).astype(jnp.float32)
+    gate_flat = gate_vals.reshape(s * k) * keep
+
+    # dispatch [S*k, E, C] / combine one-hots; einsums keep it on the MXU
+    disp = (e_mask * keep[:, None])[:, :, None] * jax.nn.one_hot(
+        pos_in_e, capacity, dtype=jnp.float32)[:, None, :]
+    x_slots = jnp.repeat(xf, k, axis=0)               # [S*k, D]
+    expert_in = jnp.einsum("zec,zd->ecd", disp,
+                           x_slots.astype(jnp.float32)).astype(adt)
+    expert_in = _constrain(expert_in, expert_spec)
+
+    w0 = _constrain(_maybe_dequant(params["w0"], adt), expert_spec)
+    w1 = _constrain(_maybe_dequant(params["w1"], adt), expert_spec)
+    h = jnp.einsum("ecd,edf->ecf", expert_in, w0)
+    if self.cfg.use_gated_ffn:
+      wg = _constrain(_maybe_dequant(params["wg"], adt), expert_spec)
+      h = jax.nn.silu(jnp.einsum("ecd,edf->ecf", expert_in, wg)) * h
+    else:
+      h = jax.nn.silu(h)
+    out_e = jnp.einsum("ecf,efd->ecd", h, w1)
+    out_e = _constrain(out_e, expert_spec)
+
+    comb = disp * gate_flat[:, None, None]
+    out = jnp.einsum("zec,ecd->zd", comb,
+                     out_e.astype(jnp.float32))       # [S*k, D]
+    out = out.reshape(s, k, d).sum(axis=1)            # merge the k slots
+    out = out.reshape(b, t, d).astype(adt)
+    return _constrain(out, self.sh.activation), aux
+
+
 class TransformerBlock(Module):
 
   def __init__(self, cfg: Config, sharding: ShardingConfig, name="block"):
     super().__init__(name)
     self.cfg = cfg
     self.attn = Attention(cfg, sharding, name="attn")
-    self.ffn = FFN(cfg, sharding, name="ffn")
+    self.is_moe = bool(cfg.get("moe_num_experts"))
+    self.ffn = (MoEFFN(cfg, sharding, name="ffn") if self.is_moe
+                else FFN(cfg, sharding, name="ffn"))
     self.pre_attn_norm = RMSNorm(cfg.model_dim, sharding, "pre_attn_norm")
     self.pre_ffn_norm = RMSNorm(cfg.model_dim, sharding, "pre_ffn_norm")
     self.post_attn_norm = (RMSNorm(cfg.model_dim, sharding, "post_attn_norm")
@@ -525,10 +626,13 @@ class TransformerBlock(Module):
       attn_out = self.post_attn_norm(params["post_attn_norm"], attn_out)
     x = x + attn_out
     h = self.pre_ffn_norm(params["pre_ffn_norm"], x)
-    ffn_out = self.ffn(params["ffn"], h)
+    if self.is_moe:
+      ffn_out, aux = self.ffn(params["ffn"], h)
+    else:
+      ffn_out, aux = self.ffn(params["ffn"], h), jnp.zeros((), jnp.float32)
     if self.post_ffn_norm:
       ffn_out = self.post_ffn_norm(params["post_ffn_norm"], ffn_out)
-    return x + ffn_out, new_cache
+    return x + ffn_out, new_cache, aux
 
 
 # ---------------------------------------------------------------------------
@@ -575,11 +679,14 @@ class TransformerLM(Module):
                        segment_ids, segment_ids)
 
   def apply(self, params, tokens, positions=None, segment_ids=None,
-            cache=None, cache_index=None, kv_positions=None):
+            cache=None, cache_index=None, kv_positions=None,
+            return_aux=False):
     """tokens: [B, T] int32. cache: optional per-layer tuple of
     {k, v: [B, S, n, h]} (from init_cache).
 
-    Returns (logits [B, T, V], new_cache or None)."""
+    Returns (logits [B, T, V], new_cache or None); with return_aux=True,
+    (logits, new_cache, aux) where aux is the summed MoE load-balance loss
+    (zero for dense FFN models)."""
     cfg = self.cfg
     adt = jnp.dtype(cfg.activation_dtype)
     b, t = tokens.shape
@@ -619,12 +726,13 @@ class TransformerLM(Module):
       # is unnecessary too.
       stacked_blocks = not isinstance(params["blocks"], (list, tuple))
       new_caches = []
+      aux = jnp.zeros((), jnp.float32)
       for i in range(cfg.n_layers):
         layer_params = (jax.tree_util.tree_map(lambda p: p[i],
                                                params["blocks"])
                         if stacked_blocks else params["blocks"][i])
-        x, nc = self.block(layer_params, x, positions, mask, cache[i],
-                           cache_index, segment_ids=segment_ids)
+        x, nc, _ = self.block(layer_params, x, positions, mask, cache[i],
+                              cache_index, segment_ids=segment_ids)
         new_caches.append(nc)
       new_cache = tuple(new_caches)
     elif cfg.get("use_pipeline") and _mesh_axis_active("model"):
@@ -637,8 +745,8 @@ class TransformerLM(Module):
 
       def block_fn(layer_params, h, extras):
         pos, msk, segs = extras
-        out, _ = self.block(layer_params, h, pos, msk, None, None,
-                            segment_ids=segs)
+        out, _, _ = self.block(layer_params, h, pos, msk, None, None,
+                               segment_ids=segs)
         return out
       if cfg.use_remat:
         block_fn = jax.checkpoint(block_fn)
@@ -647,18 +755,24 @@ class TransformerLM(Module):
           block_fn=block_fn, mesh=jax.sharding.get_abstract_mesh(),
           num_microbatches=int(cfg.get("pipeline_microbatches", 4)))
       new_cache = None
+      aux = jnp.zeros((), jnp.float32)  # MoE aux not threaded through PP
     elif cfg.use_scan:
       def body(x, layer_params):
-        out, nc = self.block(layer_params, x, positions, mask, None, None,
-                             segment_ids=segment_ids)
-        return out, None
+        out, nc, layer_aux = self.block(layer_params, x, positions, mask,
+                                        None, None,
+                                        segment_ids=segment_ids)
+        return out, layer_aux
       if cfg.use_remat:
         body = jax.checkpoint(body)
-      x, new_cache = jax.lax.scan(body, x, params["blocks"])
+      x, layer_auxs = jax.lax.scan(body, x, params["blocks"])
+      new_cache = None
+      aux = jnp.sum(layer_auxs)
     else:
+      aux = jnp.zeros((), jnp.float32)
       for layer_params in params["blocks"]:
-        x, _ = self.block(layer_params, x, positions, mask, None, None,
-                          segment_ids=segment_ids)
+        x, _, layer_aux = self.block(layer_params, x, positions, mask,
+                                     None, None, segment_ids=segment_ids)
+        aux = aux + layer_aux
       new_cache = None
 
     x = self.final_norm(params["final_norm"], x)
@@ -670,6 +784,8 @@ class TransformerLM(Module):
                           _maybe_dequant(params["unembed"], jnp.float32))
     if cfg.final_logit_cap:
       logits = cfg.final_logit_cap * jnp.tanh(logits / cfg.final_logit_cap)
+    if return_aux:
+      return logits, new_cache, aux
     return logits, new_cache
 
   def init_cache(self, batch_size: int, max_len: int):

@@ -55,9 +55,13 @@ def make_lm_train_step(model: lm_lib.TransformerLM, tx,
     if segment_ids is not None:
       segment_ids = segment_ids[:, :-1]  # packed docs: no cross-doc attention
 
+    aux_w = float(model.cfg.get("moe_aux_loss_weight", 0.0) or 0.0) \
+        if model.cfg.get("moe_num_experts") else 0.0
+
     def loss_fn(params):
-      logits, _ = model(params, inputs, segment_ids=segment_ids)
-      return lm_lib.lm_loss(logits, targets, weights)
+      logits, _, aux = model(params, inputs, segment_ids=segment_ids,
+                             return_aux=True)
+      return lm_lib.lm_loss(logits, targets, weights) + aux_w * aux
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
     gnorm = optax.global_norm(grads)

@@ -40,10 +40,11 @@ def parse_args(argv=None):
   p.add_argument("--profile", action="store_true",
                  help="capture an xprof trace of steps 10-14 into model_dir")
   p.add_argument("--run_epoch_in_child_process", action="store_true",
-                 help="train each epoch in a forked child process (contains "
-                      "host-memory leaks; nonzero exits propagate; each "
-                      "child resumes from the latest checkpoint. "
-                      "ref: efficientdet/main.py:113-117, 352-357)")
+                 help="run each epoch in a fresh child interpreter "
+                      "(contains host-memory leaks; nonzero exits "
+                      "propagate; each child resumes from the latest "
+                      "checkpoint; train_and_eval adds a per-epoch eval "
+                      "child. ref: efficientdet/main.py:113-117, 352-357)")
   p.add_argument("--coordinator_address", default=None,
                  help="host:port for jax.distributed multi-process runs")
   p.add_argument("--num_processes", type=int, default=None)
@@ -75,8 +76,61 @@ def build_eval_state_template(config, model):
       moving_normalizer=(config.get("positives_momentum", 0.0) or 0.0) > 0)
 
 
+def _run_epochs_in_children(args):
+  """One child process per epoch: each child re-execs this CLI with the
+  epoch's cumulative step budget and exits, so host-memory leaks die with
+  it; training resumes from the latest checkpoint each time — the contract
+  the reference's Estimator child relies on (ref: efficientdet/main.py:
+  113-117, 352-357). The parent NEVER touches the JAX backend (config
+  arithmetic only) so the children can own the accelerator; in
+  train_and_eval mode each epoch is followed by an eval-mode child
+  (ref: main.py:329-360 per-epoch eval)."""
+  import subprocess
+  import sys
+  from automl_tpu.configs.efficientdet_configs import get_efficientdet_config
+  config = get_efficientdet_config(args.model_name)
+  config.override(args.hparams)
+  batch_size = int(config.batch_size)
+  train_steps = args.train_steps or (
+      config.num_epochs * args.num_examples_per_epoch // batch_size)
+  steps_per_epoch = max(args.num_examples_per_epoch // batch_size, 1)
+  epoch_ends = list(range(steps_per_epoch, train_steps, steps_per_epoch))
+  epoch_ends.append(train_steps)
+
+  def flags(extra):
+    out = [sys.executable, "-m", "automl_tpu.cli.main_det",
+           f"--model_dir={args.model_dir}",
+           f"--model_name={args.model_name}", f"--seed={args.seed}",
+           f"--num_examples_per_epoch={args.num_examples_per_epoch}"]
+    for name in ("hparams", "train_file_pattern", "val_file_pattern",
+                 "mesh_shape", "init_backbone_ckpt", "coordinator_address",
+                 "num_processes", "process_id", "compilation_cache_dir"):
+      v = getattr(args, name)
+      if v is not None and v != "":
+        out.append(f"--{name}={v}")
+    if args.use_fake_data:
+      out.append("--use_fake_data")
+    return out + extra
+
+  do_eval = args.mode == "train_and_eval" and args.val_file_pattern
+  for end in epoch_ends:
+    rc = subprocess.call(flags(["--mode=train", f"--train_steps={end}"]))
+    if rc != 0:
+      raise SystemExit(rc)  # propagate (ref: main.py:355-357)
+    if do_eval:
+      rc = subprocess.call(flags(
+          ["--mode=eval", f"--eval_samples={args.eval_samples}"]))
+      if rc != 0:
+        raise SystemExit(rc)
+  return {"train_steps": float(train_steps)}
+
+
 def main(argv=None):
   args = parse_args(argv)
+  if args.run_epoch_in_child_process:
+    # handled before ANY jax/distributed use — the parent must not hold
+    # the accelerator or the coordinator port its children need
+    return _run_epochs_in_children(args)
   # must run before any jax backend use (multi-process runs only)
   from automl_tpu.parallel import distributed
   distributed.initialize(args.coordinator_address, args.num_processes,
@@ -115,9 +169,7 @@ def main(argv=None):
           shard_index=proc_id, num_shards=n_proc))
     return None
 
-  train_iter = None
-  if not args.run_epoch_in_child_process:
-    train_iter = make_train_iter()
+  train_iter = make_train_iter()
 
   eval_iter = None
   eval_steps = 0
@@ -170,38 +222,6 @@ def main(argv=None):
     if metrics is None:
       raise FileNotFoundError(f"no checkpoint in {args.model_dir}/ckpt")
     return metrics
-
-  if args.run_epoch_in_child_process:
-    # One child process per epoch: each child re-execs this CLI with the
-    # epoch's cumulative step budget and exits, so host-memory leaks die
-    # with it; training resumes from the latest checkpoint each time —
-    # the contract the reference's Estimator child relies on
-    # (ref: efficientdet/main.py:113-117, 352-357). A fresh interpreter
-    # (not fork) because the JAX backend is already initialized here.
-    import subprocess
-    import sys
-    steps_per_epoch = max(args.num_examples_per_epoch // batch_size, 1)
-    epoch_ends = list(range(steps_per_epoch, train_steps, steps_per_epoch))
-    epoch_ends.append(train_steps)
-    base = [sys.executable, "-m", "automl_tpu.cli.main_det",
-            "--mode=train", f"--model_dir={args.model_dir}",
-            f"--model_name={args.model_name}", f"--seed={args.seed}",
-            f"--num_examples_per_epoch={args.num_examples_per_epoch}"]
-    if args.hparams:
-      base.append(f"--hparams={args.hparams}")
-    if args.train_file_pattern:
-      base.append(f"--train_file_pattern={args.train_file_pattern}")
-    if args.use_fake_data:
-      base.append("--use_fake_data")
-    if args.mesh_shape:
-      base.append(f"--mesh_shape={args.mesh_shape}")
-    if args.init_backbone_ckpt:
-      base.append(f"--init_backbone_ckpt={args.init_backbone_ckpt}")
-    for end in epoch_ends:
-      rc = subprocess.call(base + [f"--train_steps={end}"])
-      if rc != 0:
-        raise SystemExit(rc)  # propagate (ref: main.py:355-357)
-    return {"train_steps": float(train_steps)}
 
   metrics = runners.run_detection(
       config, args.model_dir, train_steps, mesh_shape=mesh_shape,

@@ -74,6 +74,8 @@ def lm_defaults() -> Config:
                                   # — no MoE anywhere in the reference)
       moe_top_k=1,
       moe_capacity_factor=1.25,
+      moe_group_size=4096,        # GShard routing-group size (capacity and
+                                  # dispatch one-hots are per group)
       moe_aux_loss_weight=0.01,   # Switch load-balance loss coefficient
       tie_embeddings=True,
       use_scan=True,
@@ -345,9 +347,8 @@ class Attention(Module):
       if cfg.get("use_ring_attention"):
         # sequence-parallel ring attention over the mesh 'model' axis
         # (context parallelism — not present in the reference)
-        mesh = jax.sharding.get_abstract_mesh()
-        if (mesh is not None and not mesh.empty
-            and mesh.shape.get("model", 1) > 1):
+        if _mesh_axis_active("model"):
+          mesh = jax.sharding.get_abstract_mesh()
           from automl_tpu.ops.ring_attention import ring_attention_sharded
           kk, vv = k, v
           if self.n_kv != self.n_heads:
@@ -558,38 +559,53 @@ class MoEFFN(Module):
     top1 = jax.nn.one_hot(idx[:, 0], e, dtype=jnp.float32)
     aux = e * jnp.sum(jnp.mean(top1, axis=0) * jnp.mean(probs, axis=0))
 
-    capacity = max(1, int(self.capacity_factor * k * s / e))
-    # position of each (token, slot) within its expert, token-major
-    flat_e = idx.reshape(s * k)                       # [S*k]
-    e_mask = jax.nn.one_hot(flat_e, e, dtype=jnp.float32)
-    pos = jnp.cumsum(e_mask, axis=0) - e_mask         # [S*k, E]
-    pos_in_e = jnp.sum(pos * e_mask, axis=-1)         # [S*k]
-    keep = (pos_in_e < capacity).astype(jnp.float32)
-    gate_flat = gate_vals.reshape(s * k) * keep
-
-    # dispatch [S*k, E, C] / combine one-hots; einsums keep it on the MXU
-    disp = (e_mask * keep[:, None])[:, :, None] * jax.nn.one_hot(
-        pos_in_e, capacity, dtype=jnp.float32)[:, None, :]
-    x_slots = jnp.repeat(xf, k, axis=0)               # [S*k, D]
-    expert_in = jnp.einsum("zec,zd->ecd", disp,
-                           x_slots.astype(jnp.float32)).astype(adt)
-    expert_in = _constrain(expert_in, expert_spec)
+    # GShard-style routing groups: capacity (and the one-hot dispatch
+    # tensors) are per-group, so dispatch memory is O(S * group_size)
+    # instead of O(S^2) — an ungrouped [S*k, E, C~S/E] one-hot is ~5 GB at
+    # b8/T2048/top-2
+    g_size = min(s, int(self.cfg.get("moe_group_size", 4096) or 4096))
+    if s % g_size:
+      g_size = s  # fall back to one group for odd shapes
+    groups = s // g_size
+    capacity = max(1, int(self.capacity_factor * k * g_size / e))
 
     w0 = _constrain(_maybe_dequant(params["w0"], adt), expert_spec)
     w1 = _constrain(_maybe_dequant(params["w1"], adt), expert_spec)
-    h = jnp.einsum("ecd,edf->ecf", expert_in, w0)
-    if self.cfg.use_gated_ffn:
-      wg = _constrain(_maybe_dequant(params["wg"], adt), expert_spec)
-      h = jax.nn.silu(jnp.einsum("ecd,edf->ecf", expert_in, wg)) * h
-    else:
-      h = jax.nn.silu(h)
-    out_e = jnp.einsum("ecf,efd->ecd", h, w1)
-    out_e = _constrain(out_e, expert_spec)
+    wg = (_constrain(_maybe_dequant(params["wg"], adt), expert_spec)
+          if self.cfg.use_gated_ffn else None)
 
-    comb = disp * gate_flat[:, None, None]
-    out = jnp.einsum("zec,ecd->zd", comb,
-                     out_e.astype(jnp.float32))       # [S*k, D]
-    out = out.reshape(s, k, d).sum(axis=1)            # merge the k slots
+    def route_group(x_g, gates_g, idx_g):
+      """[Sg, D], [Sg, k], [Sg, k] -> [Sg, D] for one routing group."""
+      sg = x_g.shape[0]
+      # position of each (token, slot) within its expert, token-major
+      flat_e = idx_g.reshape(sg * k)
+      e_mask = jax.nn.one_hot(flat_e, e, dtype=jnp.float32)
+      pos = jnp.cumsum(e_mask, axis=0) - e_mask
+      pos_in_e = jnp.sum(pos * e_mask, axis=-1)
+      keep = (pos_in_e < capacity).astype(jnp.float32)
+      gate_flat = gates_g.reshape(sg * k) * keep
+      # dispatch [Sg*k, E, C] / combine one-hots; einsums stay on the MXU
+      disp = (e_mask * keep[:, None])[:, :, None] * jax.nn.one_hot(
+          pos_in_e, capacity, dtype=jnp.float32)[:, None, :]
+      x_slots = jnp.repeat(x_g, k, axis=0)
+      expert_in = jnp.einsum("zec,zd->ecd", disp,
+                             x_slots.astype(jnp.float32)).astype(adt)
+      expert_in = _constrain(expert_in, expert_spec)
+      h = jnp.einsum("ecd,edf->ecf", expert_in, w0)
+      if wg is not None:
+        h = jax.nn.silu(jnp.einsum("ecd,edf->ecf", expert_in, wg)) * h
+      else:
+        h = jax.nn.silu(h)
+      out_e = _constrain(jnp.einsum("ecf,efd->ecd", h, w1), expert_spec)
+      comb = disp * gate_flat[:, None, None]
+      out_g = jnp.einsum("zec,ecd->zd", comb,
+                         out_e.astype(jnp.float32))   # [Sg*k, D]
+      return out_g.reshape(sg, k, d).sum(axis=1)      # merge the k slots
+
+    out = jax.vmap(route_group)(
+        xf.reshape(groups, g_size, d),
+        gate_vals.reshape(groups, g_size, k),
+        idx.reshape(groups, g_size, k))
     out = out.reshape(b, t, d).astype(adt)
     return _constrain(out, self.sh.activation), aux
 
@@ -705,11 +721,8 @@ class TransformerLM(Module):
     x = _constrain(x, self.sh.activation)
     # Flash / chunked-local full-sequence paths consume positions +
     # segment_ids directly — skip materializing the [B, T, T] mask there.
-    ring_active = False
-    if cfg.get("use_ring_attention") and cache is None:
-      mesh = jax.sharding.get_abstract_mesh()
-      ring_active = (mesh is not None and not mesh.empty
-                     and mesh.shape.get("model", 1) > 1)
+    ring_active = (cfg.get("use_ring_attention") and cache is None
+                   and _mesh_axis_active("model"))
     uses_fused_mask = cache is None and (
         ring_active
         or cfg.get("use_flash_attention")
@@ -742,6 +755,11 @@ class TransformerLM(Module):
       if not cfg.use_scan:
         raise ValueError("use_pipeline needs the stacked (use_scan) "
                          "parameter layout")
+      if cfg.get("moe_num_experts"):
+        raise NotImplementedError(
+            "use_pipeline + moe_num_experts: the MoE load-balance aux "
+            "loss is not threaded through the pipeline schedule yet — "
+            "the router would train with zero balance pressure")
 
       def block_fn(layer_params, h, extras):
         pos, msk, segs = extras

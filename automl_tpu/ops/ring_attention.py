@@ -43,7 +43,8 @@ def _block_attend(q, k, v, mask, *, sm_scale: float, logit_cap: float,
                   m_prev, l_prev, acc_prev):
   """One (q-chunk, kv-block) step of the online-softmax recurrence.
 
-  q [B,Tq,N,H], k/v [B,Tk,N,H], mask [Tq,Tk] or None (= fully visible).
+  q [B,Tq,N,H], k/v [B,Tk,N,H]; mask [Tq,Tk] (shared across batch),
+  [B,Tq,Tk] (per-example, e.g. packed segments), or None (fully visible).
   Carries m (running max) [B,Tq,N], l (running sum-exp) [B,Tq,N],
   acc (weighted V accumulator) [B,Tq,N,H]; all f32.
   """
@@ -51,13 +52,15 @@ def _block_attend(q, k, v, mask, *, sm_scale: float, logit_cap: float,
   if logit_cap:
     s = logit_cap * jnp.tanh(s / logit_cap)
   if mask is not None:
-    s = jnp.where(mask[None, :, None, :], s, NEG_INF)
+    mexp = (mask[None, :, None, :] if mask.ndim == 2
+            else mask[:, :, None, :])
+    s = jnp.where(mexp, s, NEG_INF)
   m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
   # guard fully-masked rows: exp(NEG_INF - NEG_INF) would be 1
   safe_m = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
   p = jnp.exp(s - safe_m[..., None])
   if mask is not None:
-    p = jnp.where(mask[None, :, None, :], p, 0.0)
+    p = jnp.where(mexp, p, 0.0)
   correction = jnp.exp(jnp.where(m_prev <= NEG_INF / 2, NEG_INF,
                                  m_prev - safe_m))
   l_new = l_prev * correction + jnp.sum(p, axis=-1)
@@ -82,6 +85,9 @@ def ring_attention(q, k, v, segment_ids=None, *, axis_name: str,
   b, t, n, h = q.shape
   if sm_scale is None:
     sm_scale = h ** -0.5
+  if window and not causal:
+    raise ValueError("ring_attention: window implies causal "
+                     "(q_pos - window < k_pos <= q_pos semantics)")
   ring = jax.lax.axis_size(axis_name)
   my = jax.lax.axis_index(axis_name)
   qf = q.astype(jnp.float32)
@@ -109,31 +115,14 @@ def ring_attention(q, k, v, segment_ids=None, *, axis_name: str,
       if window:
         mask &= kpos[None, :] > qpos[:, None] - window
     if q_seg is not None:
-      seg_ok = q_seg[:, :, None] == k_seg[:, None, :]  # [B, Tq, Tk]
-      base = mask[None] if mask is not None else True
-      m_, l_, acc_ = m, l, acc
-      # per-batch mask path: fold batch into _block_attend via expanded mask
-      s = jnp.einsum("bqnh,bknh->bqnk", qf, k_blk.astype(jnp.float32)
-                     ).astype(jnp.float32) * sm_scale
-      if logit_cap:
-        s = logit_cap * jnp.tanh(s / logit_cap)
-      full_mask = jnp.broadcast_to(base & seg_ok, (b, t, t))
-      s = jnp.where(full_mask[:, :, None, :], s, NEG_INF)
-      m_new = jnp.maximum(m_, jnp.max(s, axis=-1))
-      safe_m = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
-      p = jnp.where(full_mask[:, :, None, :],
-                    jnp.exp(s - safe_m[..., None]), 0.0)
-      corr = jnp.exp(jnp.where(m_ <= NEG_INF / 2, NEG_INF, m_ - safe_m))
-      l = l_ * corr + jnp.sum(p, axis=-1)
-      acc = (acc_ * corr[..., None]
-             + jnp.einsum("bqnk,bknh->bqnh", p,
-                          v_blk.astype(jnp.float32)))
-      m = m_new
-    else:
-      m, l, acc = _block_attend(
-          qf, k_blk.astype(jnp.float32), v_blk.astype(jnp.float32), mask,
-          sm_scale=sm_scale, logit_cap=logit_cap,
-          m_prev=m, l_prev=l, acc_prev=acc)
+      # fold the per-example packed-segment constraint into a [B,Tq,Tk]
+      # mask; _block_attend handles both mask ranks with one recurrence
+      seg_ok = q_seg[:, :, None] == k_seg[:, None, :]
+      mask = seg_ok if mask is None else (mask[None] & seg_ok)
+    m, l, acc = _block_attend(
+        qf, k_blk.astype(jnp.float32), v_blk.astype(jnp.float32), mask,
+        sm_scale=sm_scale, logit_cap=logit_cap,
+        m_prev=m, l_prev=l, acc_prev=acc)
     k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
     v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
     k_seg = jax.lax.ppermute(k_seg, axis_name, perm)

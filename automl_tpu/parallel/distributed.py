@@ -34,6 +34,13 @@ def initialize(coordinator_address: Optional[str] = None,
   (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) or cloud
   auto-detection; explicit args win. Safe to call twice.
   """
+  # AUTOML_TPU_PLATFORM=cpu forces the backend for subprocesses/tests:
+  # on the axon TPU build the JAX_PLATFORMS env var is ignored, and
+  # jax.config must be set before the backend initializes — this is the
+  # one reliable pre-backend hook every CLI passes through.
+  plat = os.environ.get("AUTOML_TPU_PLATFORM")
+  if plat:
+    jax.config.update("jax_platforms", plat)
   if coordinator_address is None:
     coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
   if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):

@@ -109,18 +109,23 @@ def pipeline_blocks(x, stage_params, extras=None, *, block_fn,
 
 def pipeline_blocks_sharded(x, stacked_params, extras=None, *, block_fn,
                             mesh, stage_axis: str = "model",
+                            batch_axes=("replica", "data"),
                             num_microbatches: int):
-  """shard_map wrapper: stacked_params [L, ...] sharded over `stage_axis`,
-  x / extras replicated. L must be divisible by the stage count."""
+  """shard_map wrapper: stacked_params [L, ...] sharded over `stage_axis`;
+  x / extras stay BATCH-SHARDED over `batch_axes` (each data-parallel row
+  of the mesh pipelines only its own batch shard — dp x pp composes).
+  L must be divisible by the stage count; the per-shard batch by
+  num_microbatches."""
   from jax.sharding import PartitionSpec as P
   shard_map = getattr(jax, "shard_map", None)
   if shard_map is None:  # older jax
     from jax.experimental.shard_map import shard_map
+  x_spec = P(batch_axes)
   param_specs = jax.tree_util.tree_map(lambda _: P(stage_axis), stacked_params)
-  extra_specs = jax.tree_util.tree_map(lambda _: P(), extras)
+  extra_specs = jax.tree_util.tree_map(lambda _: x_spec, extras)
   fn = functools.partial(pipeline_blocks, block_fn=block_fn,
                          axis_name=stage_axis,
                          num_microbatches=num_microbatches)
   return shard_map(fn, mesh=mesh,
-                   in_specs=(P(), param_specs, extra_specs),
-                   out_specs=P())(x, stacked_params, extras)
+                   in_specs=(x_spec, param_specs, extra_specs),
+                   out_specs=x_spec)(x, stacked_params, extras)

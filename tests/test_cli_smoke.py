@@ -157,8 +157,10 @@ def test_run_epoch_in_child_process(tmp_path):
   from automl_tpu.train.checkpoint import CheckpointManager
 
   d = str(tmp_path / "det")
-  # children are fresh interpreters: share a persistent compile cache so
-  # the second epoch's child doesn't pay the full XLA compile again
+  # children are fresh interpreters: pin them to CPU (hermetic — no
+  # tunnel-TPU dependence) and share a persistent compile cache so the
+  # second epoch's child doesn't pay the full XLA compile again
+  os.environ["AUTOML_TPU_PLATFORM"] = "cpu"
   os.environ["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "xla_cache")
   try:
     out = main_det.main([
@@ -167,5 +169,6 @@ def test_run_epoch_in_child_process(tmp_path):
         "--run_epoch_in_child_process"])
   finally:
     os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+    os.environ.pop("AUTOML_TPU_PLATFORM", None)
   assert out["train_steps"] == 2.0
   assert CheckpointManager(f"{d}/ckpt").latest_step() == 2

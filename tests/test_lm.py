@@ -609,3 +609,18 @@ def test_moe_lm_trains_and_shards():
     state, logs = step(state, batch)
     losses.append(float(logs["loss"]))
   assert losses[-1] < losses[0]
+
+
+def test_moe_grouping_invariant_when_capacity_ample():
+  """With ample capacity, GShard routing groups don't change the result
+  (grouping only bounds the one-hot dispatch memory)."""
+  x = jax.random.normal(jax.random.key(7), (2, 16, 32))
+  outs = []
+  for g in (8, 32 * 100):  # 4 groups vs 1 group
+    cfg = tiny_cfg(moe_num_experts=4, moe_top_k=2, moe_capacity_factor=4.0,
+                   moe_group_size=g)
+    moe = lm_lib.MoEFFN(cfg, lm_lib.ShardingConfig.data_parallel())
+    params = moe.init(jax.random.key(0))
+    out, _ = moe(params, x)
+    outs.append(np.asarray(out))
+  np.testing.assert_allclose(outs[0], outs[1], atol=1e-5, rtol=1e-5)

@@ -37,7 +37,9 @@ def test_shard_batch_and_global_mean():
 def test_grouped_cross_replica_bn():
   """BN with axis_name + group_size=2 under shard_map: moments averaged
   within groups of 2 devices, not globally."""
-  from jax.experimental.shard_map import shard_map
+  shard_map = getattr(jax, "shard_map", None)
+  if shard_map is None:  # older jax
+    from jax.experimental.shard_map import shard_map
   nn.set_policy("float32")
   try:
     mesh = create_mesh((1, 8, 1))

@@ -13,7 +13,8 @@ import argparse
 
 def parse_args(argv=None):
   p = argparse.ArgumentParser(description=__doc__)
-  p.add_argument("--mode", default="train", choices=["train", "traineval"])
+  p.add_argument("--mode", default="train",
+                 choices=["train", "traineval", "eval"])
   p.add_argument("--model_name", default="efficientnetv2-b0")
   p.add_argument("--model_dir", required=True)
   p.add_argument("--hparam_str", default="")
@@ -24,6 +25,15 @@ def parse_args(argv=None):
   p.add_argument("--data_dir", default=None,
                  help="TFRecord dir for --dataset (None = synthetic)")
   p.add_argument("--train_file_pattern", default=None)
+  p.add_argument("--val_file_pattern", default=None)
+  p.add_argument("--eval_samples", type=int, default=50000)
+  p.add_argument("--eval_every", type=int, default=0,
+                 help="steps between in-training evals (traineval); "
+                      "0 = eval at each progressive-stage boundary")
+  p.add_argument("--eval_timeout", type=float, default=0,
+                 help="eval mode: watch the ckpt dir and evaluate each new "
+                      "checkpoint (ref: efficientnetv2/main.py:388-423). "
+                      "0 = evaluate latest once.")
   p.add_argument("--ft_init_ckpt", default=None,
                  help="published TF ckpt to finetune from (head reinit)")
   p.add_argument("--train_steps", type=int, default=0)
@@ -95,10 +105,104 @@ def main(argv=None):
                                           shard_index=proc_id,
                                           num_shards=n_proc))
 
+  # held-out eval source for traineval / eval modes
+  eval_iter = None
+  eval_steps = 0
+  if args.mode in ("traineval", "eval"):
+    eval_batch = int(config.eval.batch_size or batch_size)
+    ecanvas = (int(config.eval.isize or runners.resolve_train_size(config))
+               + 32)
+    if args.val_file_pattern:
+      def eval_iter():  # fresh iterator per eval pass
+        if config.data.get("multiclass"):
+          return iter(pipeline.MultiLabelTFRecordLoader(
+              args.val_file_pattern, is_training=False,
+              batch_size=eval_batch, canvas_size=ecanvas,
+              max_labels=int(config.data.get("max_labels", 16))))
+        return iter(pipeline.ImageNetTFRecordLoader(
+            args.val_file_pattern, is_training=False, batch_size=eval_batch,
+            canvas_size=ecanvas, num_classes=config.data.num_classes))
+    elif args.data_dir and spec is not None and "eval" in spec.splits:
+      def eval_iter():
+        return iter(ds_lib.build_dataset(config, "eval", eval_batch,
+                                         canvas_size=ecanvas))
+    else:  # synthetic minival (the reference's null-data mode)
+      def eval_iter():
+        if config.data.get("multiclass"):
+          return iter(ds_lib.SyntheticMultiLabel(
+              eval_batch, ecanvas, config.data.num_classes,
+              int(config.data.get("max_labels", 16))))
+        return iter(pipeline.SyntheticClassification(
+            eval_batch, ecanvas, config.data.num_classes))
+    eval_steps = max(args.eval_samples // eval_batch, 1)
+
+  if args.mode == "eval":
+    return _eval_mode(args, config, eval_iter, eval_steps)
+
   metrics = runners.run_classification(
       config, args.model_dir, train_steps, mesh_shape=mesh_shape,
-      data_iter=data_iter, seed=args.seed)
+      data_iter=data_iter, eval_iter=eval_iter, eval_steps=eval_steps,
+      eval_every=args.eval_every, seed=args.seed)
   print({k: round(v, 4) for k, v in metrics.items()})
+  return metrics
+
+
+def _build_eval_state_template(config, model):
+  """Zero-filled TrainState matching run_classification's training state."""
+  import jax
+  import jax.numpy as jnp
+  from automl_tpu.train import optimizers as opt_lib
+  from automl_tpu.train import schedules, train_lib
+  params = jax.eval_shape(model.init, jax.random.key(0))
+  template = jax.tree_util.tree_map(
+      lambda s: jnp.zeros(s.shape, s.dtype), params)
+  tx = opt_lib.masked_for_params(
+      opt_lib.build_optimizer(config.train.optimizer, lambda step: 0.0),
+      template)
+  return train_lib.create_train_state(template, tx,
+                                      ema=bool(config.train.ema_decay))
+
+
+def _eval_mode(args, config, eval_iter, eval_steps):
+  """Standalone / continuous classification eval: evaluate the latest (or
+  each new) checkpoint in model_dir (ref: efficientnetv2/main.py:388-423
+  ckpt-watcher eval loop)."""
+  from automl_tpu import nn
+  from automl_tpu.models import build_model
+  from automl_tpu.train import runners
+  from automl_tpu.train.checkpoint import CheckpointManager
+  nn.set_policy("mixed_bfloat16" if config.runtime.mixed_precision
+                else "float32")
+  model = build_model(config.model)
+  mngr = CheckpointManager(f"{args.model_dir}/ckpt")
+  template = _build_eval_state_template(config, model)
+
+  def eval_step_num(step):
+    try:
+      state = mngr.restore(template, step=step)
+    except (FileNotFoundError, ValueError) as e:
+      print(f"checkpoint {step} vanished, skipping: {e}")
+      return None
+    if state is None:
+      return None
+    m = runners.evaluate_classification(
+        model, state.ema_params or state.params, config, eval_iter(),
+        eval_steps)
+    print(f"step {step}:", {k: round(float(v), 4) for k, v in m.items()})
+    return m
+
+  if args.eval_timeout:
+    from automl_tpu.train.checkpoint import watch_checkpoints
+    metrics = None
+    for step in watch_checkpoints(mngr.directory,
+                                  timeout_secs=args.eval_timeout):
+      metrics = eval_step_num(step) or metrics
+    if metrics is None:
+      raise FileNotFoundError(f"no checkpoint in {args.model_dir}/ckpt")
+    return metrics
+  metrics = eval_step_num(mngr.latest_step())
+  if metrics is None:
+    raise FileNotFoundError(f"no checkpoint in {args.model_dir}/ckpt")
   return metrics
 
 

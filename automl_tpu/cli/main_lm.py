@@ -52,6 +52,9 @@ def parse_args(argv=None):
                  help="validation interval in steps (0 = off)")
   p.add_argument("--eval_steps", type=int, default=None)
   p.add_argument("--ckpt_every", type=int, default=0)
+  p.add_argument("--deep_diagnostics", action="store_true",
+                 help="log global+per-param norm/rms of weights/grads/"
+                      "updates (ref: hero/model_lib.py:1852-1888)")
   p.add_argument("--batch_size", type=int, default=None)
   p.add_argument("--compilation_cache_dir", default=None,
                  help="persistent XLA compile cache; 'auto' = ~/.cache/automl_tpu/xla")
@@ -118,8 +121,10 @@ def main(argv=None):
       lr_schedule=config.lr_schedule, warmup_steps=config.warmup_steps,
       eval_iter=eval_iter, eval_every=config.eval_every,
       eval_steps=config.eval_steps, ckpt_every=args.ckpt_every,
+      deep_diagnostics=args.deep_diagnostics,
       optimizer=config.optimizer, seed=args.seed)
-  print({k: round(v, 4) for k, v in logs.items()})
+  print({k: round(v, 4) for k, v in logs.items()
+         if not k.startswith("diag/")})
   return logs
 
 

@@ -238,15 +238,28 @@ def det_train_preprocess(image, boxes, classes, rng, out_size: int,
 
 
 def det_eval_preprocess(image, out_size: int, mean=MEAN_RGB, stddev=STDDEV_RGB):
-  """Scale-preserving resize to out_size (returns image + scale to undo)."""
+  """Scale-preserving resize to out_size (returns image + scale to undo).
+
+  Matches the reference inference path bit-for-bit-ish
+  (dataloader.py:115-142): normalize FIRST (so the pad region is zero in
+  normalized space), then TF2-convention half-pixel bilinear resize without
+  antialias (jax.image.resize antialias=False == tf.image.resize BILINEAR),
+  then pad bottom/right to the square canvas. Published-checkpoint mAP
+  parity depends on this exact recipe."""
+  import numpy as np
   h, w, _ = image.shape
-  scale = out_size / max(h, w)
-  m = jnp.eye(3, dtype=jnp.float32)
-  m = m.at[0, 0].set(1.0 / scale).at[1, 1].set(1.0 / scale)
-  out = _warp_to(image, m, out_size)
-  # blank out the padded region beyond the scaled image
-  yy = jax.lax.broadcasted_iota(jnp.float32, (out_size, out_size), 0)
-  xx = jax.lax.broadcasted_iota(jnp.float32, (out_size, out_size), 1)
-  inside = ((yy < h * scale) & (xx < w * scale))[..., None]
-  out = jnp.where(inside, out, 0.0)
-  return normalize_image(out, mean, stddev), 1.0 / scale
+  # TF computes the scale and scaled sizes in float32 and truncates
+  # (dataloader.py:115-127: int32 cast) — e.g. h=636 -> 636*(256/636) =
+  # 255.99998f -> 255, NOT 256. Replicate exactly or every sample position
+  # shifts sub-pixel and logits drift.
+  scale32 = np.float32(min(np.float32(out_size) / np.float32(h),
+                           np.float32(out_size) / np.float32(w)))
+  sh = int(np.float32(h) * scale32)
+  sw = int(np.float32(w) * scale32)
+  scale = float(scale32)
+  normalized = normalize_image(image.astype(jnp.float32), mean, stddev)
+  scaled = jax.image.resize(normalized, (sh, sw, image.shape[-1]),
+                            method="bilinear", antialias=False)
+  out = jnp.zeros((out_size, out_size, image.shape[-1]), jnp.float32)
+  out = jax.lax.dynamic_update_slice(out, scaled, (0, 0, 0))
+  return out, 1.0 / scale

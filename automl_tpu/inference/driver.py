@@ -40,10 +40,15 @@ class ServingDriver:
 
   def __init__(self, model_name: str, batch_size: int = 1,
                min_score_thresh: float = 0.3, max_boxes_to_draw: int = 100,
-               mixed_precision: bool = True, hparams=None):
+               mixed_precision: bool = True, hparams=None,
+               post_mode: str = "per_class"):
     self.config = get_efficientdet_config(model_name)
     if hparams:
       self.config.override(hparams)
+    if post_mode not in ("per_class", "global", "combined"):
+      raise ValueError(f"post_mode must be per_class/global/combined, "
+                       f"got {post_mode!r}")
+    self.post_mode = post_mode
     self.batch_size = batch_size
     self.min_score_thresh = min_score_thresh
     self.max_boxes_to_draw = max_boxes_to_draw
@@ -69,6 +74,18 @@ class ServingDriver:
     self.params = restored["params"]
     return self
 
+  def load_tf(self, ckpt_path: str, use_ema: bool = True):
+    """Restore from a published reference TF checkpoint file/prefix.
+
+    This is the path a reference user runs with downloaded efficientdet-d*
+    checkpoints: TF1-style variable names (incl. '{name}/ExponentialMovingAverage'
+    EMA shadows, preferred when use_ema) are mapped onto our pytree
+    (ref: tf2/util_keras.py:108-204 restore_ckpt semantics)."""
+    from automl_tpu.ckpt import tf_compat
+    self.params = tf_compat.convert_effdet_checkpoint(
+        ckpt_path, self.model, use_ema=use_ema)
+    return self
+
   def _build_serve(self):
     config = self.config
     size = parse_image_size(config.image_size)
@@ -83,7 +100,10 @@ class ServingDriver:
                   images.astype(jnp.float32))
       scales = jnp.full((images.shape[0],), scale_out, jnp.float32)
       cls_out, box_out = self.model(params, normalized, train=False)
-      boxes, scores, classes, valid = postprocess.postprocess_per_class(
+      post_fn = {"per_class": postprocess.postprocess_per_class,
+                 "global": postprocess.postprocess_global,
+                 "combined": postprocess.postprocess_combined}[self.post_mode]
+      boxes, scores, classes, valid = post_fn(
           config, cls_out, box_out, scales)
       return {"boxes": boxes, "scores": scores, "classes": classes,
               "valid_len": valid}

@@ -11,6 +11,14 @@ step function trains float or QAT depending on the mode.
 Scales are dynamic (abs-max of the current values), matching the calibration
 semantics of the PTQ path in inference/driver.py:148-197; exporting a
 QAT-trained checkpoint through that INT8 path closes the loop.
+
+CAVEAT — trace-time state: the QAT mode is consulted while a function is
+being *traced*, and it is NOT part of any jit cache key. Set the mode (via
+enable_qat/disable_qat or qat_scope) BEFORE the first call of any jitted
+function whose behavior should depend on it; toggling afterwards silently
+keeps the already-compiled behavior. The training runners set the mode both
+ways (enable or disable) at entry so state never leaks between runs in one
+process; prefer `qat_scope` for ad-hoc traces.
 """
 
 from __future__ import annotations

@@ -123,6 +123,15 @@ def _gather_outputs(boxes, classes, idx, out_scores, valid):
   return nms_boxes, nms_scores, nms_classes, jnp.sum(valid.astype(jnp.int32))
 
 
+def clip_boxes(boxes, image_size):
+  """Clip [..., 4] ymin/xmin/ymax/xmax boxes into the canvas
+  (ref: postprocess.py:61-64, applied at :241/:402 before rescaling)."""
+  from automl_tpu.utils import parse_image_size
+  h, w = parse_image_size(image_size)
+  hi = jnp.asarray([h, w, h, w], boxes.dtype)
+  return jnp.clip(boxes, 0.0, hi)
+
+
 def _nms_one(boxes, scores, classes, p, per_class: bool):
   if per_class:
     idx, out_scores, valid = nms_lib.per_class_nms(
@@ -145,6 +154,7 @@ def postprocess_global(config, cls_outputs, box_outputs, image_scales=None):
   out = jax.vmap(functools.partial(_nms_one, p=p, per_class=False))(
       boxes, scores, classes)
   nms_boxes, nms_scores, nms_classes, valid_len = out
+  nms_boxes = clip_boxes(nms_boxes, config.image_size)
   if image_scales is not None:
     scales = jnp.asarray(image_scales, jnp.float32).reshape(-1, 1, 1)
     nms_boxes = nms_boxes * scales
@@ -164,6 +174,7 @@ def postprocess_per_class(config, cls_outputs, box_outputs, image_scales=None):
   out = jax.vmap(functools.partial(_nms_one, p=p, per_class=True))(
       boxes, scores, classes)
   nms_boxes, nms_scores, nms_classes, valid_len = out
+  nms_boxes = clip_boxes(nms_boxes, config.image_size)
   if image_scales is not None:
     scales = jnp.asarray(image_scales, jnp.float32).reshape(-1, 1, 1)
     nms_boxes = nms_boxes * scales

@@ -90,8 +90,11 @@ def build_global_array(local_array, mesh: Mesh,
   return jax.make_array_from_process_local_data(sharding, local, global_shape)
 
 
-def build_global_batch(local_batch: dict, mesh: Mesh,
+def build_global_batch(local_batch, mesh: Mesh,
                        pspec: PartitionSpec = PartitionSpec(
-                           ("replica", "data"))) -> dict:
-  return {k: build_global_array(v, mesh, pspec)
-          for k, v in local_batch.items()}
+                           ("replica", "data"))):
+  """Pytree version of build_global_array (any structure, not just dicts),
+  so shard_batch accepts the same batch pytrees in single- and
+  multi-process runs."""
+  return jax.tree_util.tree_map(
+      lambda v: build_global_array(v, mesh, pspec), local_batch)

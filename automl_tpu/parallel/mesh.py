@@ -73,8 +73,7 @@ def shard_batch(mesh: Mesh, batch, axes=("replica", "data")):
   axes = tuple(a for a in axes if a in mesh.axis_names)
   if jax.process_count() > 1:
     from automl_tpu.parallel.distributed import build_global_batch
-    sliced = dict(batch) if isinstance(batch, dict) else batch
-    return build_global_batch(sliced, mesh, PartitionSpec(axes))
+    return build_global_batch(batch, mesh, PartitionSpec(axes))
   sharding = NamedSharding(mesh, PartitionSpec(axes))
   return jax.tree_util.tree_map(
       lambda x: jax.device_put(x, sharding), batch)

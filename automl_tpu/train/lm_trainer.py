@@ -32,17 +32,44 @@ class LMTrainState(NamedTuple):
   opt_state: Any
 
 
+def _rms(tree):
+  leaves = [jnp.sum(jnp.square(x.astype(jnp.float32)))
+            for x in jax.tree_util.tree_leaves(tree)]
+  n = sum(x.size for x in jax.tree_util.tree_leaves(tree))
+  return jnp.sqrt(sum(leaves) / max(n, 1))
+
+
+def _per_leaf_diagnostics(prefix: str, tree) -> dict:
+  """{'diag/<prefix>/<path>/{norm,rms}': scalar} for every leaf
+  (hero's local norm/rms diagnostics, model_lib.py:1852-1888)."""
+  out = {}
+  for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+    name = jax.tree_util.keystr(kp).replace("'", "").replace("]", "") \
+        .replace("[", "/").strip("/")
+    x = leaf.astype(jnp.float32)
+    sq = jnp.sum(jnp.square(x))
+    out[f"diag/{prefix}/{name}/norm"] = jnp.sqrt(sq)
+    out[f"diag/{prefix}/{name}/rms"] = jnp.sqrt(sq / max(leaf.size, 1))
+  return out
+
+
 def make_lm_train_step(model: lm_lib.TransformerLM, tx,
                        grad_clip_norm: float = 1.0,
                        update_clip_rms: float = 0.0,
                        weight_decay: float = 0.0,
-                       lr_fn=None):
+                       lr_fn=None, diagnostics: bool = False):
   """-> step(state, batch{'tokens' [B,T+1], 'loss_weights' opt}) -> (state, logs).
 
   Decoupled weight decay is lr-scaled as in the reference
   (hero/model_lib.py:1396-1400: params -= lr * (update + wd * params));
   pass lr_fn (step -> lr) so the decay follows the schedule. Without lr_fn
   the raw wd coefficient is applied (caller pre-scales).
+
+  diagnostics=True adds hero's deep diagnostics (model_lib.py:1852-1888):
+  global norm & rms of weights/grads/updates plus per-param norm/rms under
+  diag/{weights,grads,updates}/<path>/{norm,rms}. All computed inside the
+  jitted step (a handful of reductions — cheap next to the backward pass);
+  the cost is in materializing/logging them, hence opt-in.
   """
 
   def train_step(state: LMTrainState, batch):
@@ -81,6 +108,13 @@ def make_lm_train_step(model: lm_lib.TransformerLM, tx,
     params = optax.apply_updates(state.params, updates)
     logs = {"loss": loss, "gnorm": gnorm,
             "unorm": optax.global_norm(updates)}
+    if diagnostics:
+      logs.update({
+          "wnorm": optax.global_norm(params), "wrms": _rms(params),
+          "grms": _rms(grads), "urms": _rms(updates)})
+      logs.update(_per_leaf_diagnostics("weights", params))
+      logs.update(_per_leaf_diagnostics("grads", grads))
+      logs.update(_per_leaf_diagnostics("updates", updates))
     return LMTrainState(state.step + 1, params, opt_state), logs
 
   return train_step
@@ -124,6 +158,23 @@ def make_lm_eval_step(model: lm_lib.TransformerLM):
   return eval_step
 
 
+def write_sharding_artifact(params, path: str) -> None:
+  """Step-0 per-param `path :: shape :: dtype :: sharding` text artifact
+  (ref: hero/model_lib.py:1591-1639 logs the same map to TB at step 0)."""
+  lines = []
+  total = 0
+  for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+    name = jax.tree_util.keystr(kp).replace("'", "").replace("]", "") \
+        .replace("[", "/").strip("/")
+    total += int(np.prod(leaf.shape))
+    sharding = getattr(leaf, "sharding", None)
+    spec = getattr(sharding, "spec", sharding)
+    lines.append(f"{name} :: {tuple(leaf.shape)} :: {leaf.dtype} :: {spec}")
+  lines.append(f"total_params :: {total}")
+  with open(path, "w") as f:
+    f.write("\n".join(lines) + "\n")
+
+
 def run_lm(config, model_dir: str, train_steps: int,
            sharding: Optional[lm_lib.ShardingConfig] = None,
            mesh_shape=None, dcn_mesh_shape=None, data_iter=None,
@@ -132,12 +183,15 @@ def run_lm(config, model_dir: str, train_steps: int,
            lr_schedule: str = "cosine_decay", warmup_steps: int = 0,
            end_decay: float = 0.1, eval_iter=None, eval_every: int = 0,
            eval_steps: int = 8, ckpt_every: int = 0,
-           seed: int = 0) -> dict:
+           deep_diagnostics: bool = False, seed: int = 0) -> dict:
   """Train a TransformerLM; GSPMD over a mesh when mesh_shape is given.
 
   Parity with hero run_experiment (model_lib.py:1475-1813): scheduled LR
   with warmup, periodic held-out validation (weight-averaged loss),
-  per-step scalars to metrics.jsonl/TB, periodic + final checkpoints.
+  per-step scalars to metrics.jsonl/TB, periodic + final checkpoints,
+  step-0 params_sharding.txt artifact, opt-in deep diagnostics
+  (deep_diagnostics=True -> global/per-param norm & rms of
+  weights/grads/updates in metrics.jsonl).
   """
   from automl_tpu.parallel import create_mesh
   from automl_tpu.train import schedules
@@ -170,9 +224,11 @@ def run_lm(config, model_dir: str, train_steps: int,
     restored = mngr.restore(state)
     if restored is not None:
       state = restored
+    write_sharding_artifact(state.params,
+                            os.path.join(model_dir, "params_sharding.txt"))
     step_fn = jax.jit(make_lm_train_step(
         model, tx, weight_decay=config.get("weight_decay", 0.0),
-        lr_fn=lr_fn))
+        lr_fn=lr_fn, diagnostics=deep_diagnostics))
     eval_fn = jax.jit(make_lm_eval_step(model))
     writer = MetricsWriter(model_dir)
 

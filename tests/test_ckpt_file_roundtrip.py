@@ -1,0 +1,120 @@
+"""End-to-end published-checkpoint-FILE golden (the round-2 verdict's top
+ask): write a genuine TF1-style checkpoint file (variable names + EMA
+shadows exactly as published efficientdet checkpoints), have the REFERENCE's
+own restore path (tf2/util_keras.py:108-204) load it and run its inference
+driver on the real testdata image, then import the same file through OUR
+user-facing path (ServingDriver.load_tf) and require the same final NMS'd
+detections.
+
+No published weights ship offline (zero egress), so the weights are a
+BN-calibrated random init — calibration (moving stats := actual activation
+moments) gives the well-conditioned activations a trained checkpoint has,
+which makes detection scores content-dependent and the NMS golden
+discriminative. EMA is exercised adversarially: the raw variables in the
+file are junk; only the '/ExponentialMovingAverage' shadows hold the real
+values, so any side that reads raw values fails loudly.
+"""
+
+import numpy as np
+import pytest
+
+try:
+  import tf_keras  # noqa: F401
+  HAS_TF = True
+except Exception:
+  HAS_TF = False
+
+pytestmark = pytest.mark.skipif(not HAS_TF, reason="tf_keras unavailable")
+
+IMG = "/root/reference/efficientdet/testdata/img1.jpg"
+SIZE = 256
+
+
+def _write_tf1_checkpoint(tf, weights: dict, prefix: str,
+                          rng: np.random.RandomState) -> str:
+  """{name: value} -> TF1-style name-based checkpoint file at `prefix`,
+  raw values = junk, '{name}/ExponentialMovingAverage' = real values."""
+  g = tf.Graph()
+  with g.as_default():
+    for name, val in weights.items():
+      junk = (val + rng.normal(0, 0.5, val.shape)).astype(val.dtype)
+      tf.Variable(junk, name=name)
+      tf.Variable(val, name=name + "/ExponentialMovingAverage")
+    saver = tf.compat.v1.train.Saver()
+    with tf.compat.v1.Session(graph=g) as sess:
+      sess.run(tf.compat.v1.global_variables_initializer())
+      saver.save(sess, prefix)
+  return prefix
+
+
+def test_published_ckpt_file_image_to_detections_golden(tmp_path):
+  from PIL import Image
+  from automl_tpu.ckpt import tf_compat
+  tf = tf_compat.reference_model_shim()
+  edk = tf_compat.import_reference_module(
+      "efficientdet", "tf2.efficientdet_keras")
+  util_keras = tf_compat.import_reference_module(
+      "efficientdet", "tf2.util_keras")
+  hparams_config = tf_compat.import_reference_module(
+      "efficientdet", "hparams_config")
+  import tf_keras
+  tf_keras.backend.clear_session()
+
+  cfg = hparams_config.get_efficientdet_config("efficientdet-d0")
+  cfg.image_size = SIZE
+  ref = edk.EfficientDetModel(config=cfg)
+  img = np.asarray(Image.open(IMG).convert("RGB"))
+  img = img[:, :img.shape[0]]  # square: no zero-pad region (tied scores)
+  _ = ref(tf.constant(img[None].astype(np.uint8)), training=False)  # build
+
+  rng = np.random.RandomState(0)
+  # spread the class-predict biases so scores vary per class
+  for v in ref.weights:
+    if "predict" in v.name and "bias" in v.name:
+      v.assign(rng.uniform(-6.0, -1.0,
+                           v.shape).astype(v.dtype.as_numpy_dtype))
+  # BN-calibrate: moving stats := actual activation moments (momentum=0 +
+  # one training pass) — same conditioning as a trained checkpoint
+  for layer in ref.submodules:
+    if hasattr(layer, "moving_mean") and hasattr(layer, "momentum"):
+      layer.momentum = 0.0
+  _ = ref(tf.constant(img[None].astype(np.uint8)), training=True)
+
+  true_w = {v.name[:-2]: v.numpy() for v in ref.weights}
+  # perturb the live model so only a successful file restore can fix it
+  for v in ref.weights:
+    v.assign(v.numpy() + rng.normal(0, 0.05,
+                                    v.shape).astype(v.dtype.as_numpy_dtype))
+
+  prefix = _write_tf1_checkpoint(tf, true_w, str(tmp_path / "model.ckpt"),
+                                 rng)
+
+  # reference's own restore must read our file and prefer the EMA shadows
+  util_keras.restore_ckpt(ref, prefix, ema_decay=0.9998, skip_mismatch=False)
+  back = {v.name[:-2]: v.numpy() for v in ref.weights}
+  assert max(np.max(np.abs(back[k] - true_w[k])) for k in true_w) == 0.0
+
+  ref_out = ref(tf.constant(img[None].astype(np.uint8)), training=False)
+  ref_boxes, ref_scores, ref_classes = [t.numpy() for t in ref_out[:3]]
+
+  # ours: the path a real user runs with a downloaded checkpoint
+  from automl_tpu import nn
+  from automl_tpu.inference.driver import ServingDriver
+  nn.set_policy("float32")
+  try:
+    drv = ServingDriver("efficientdet-d0", mixed_precision=False,
+                        hparams=f"image_size={SIZE}", post_mode="global")
+    drv.load_tf(prefix, use_ema=True)
+    dets = drv.serve(img[None])
+  finally:
+    nn.set_policy("mixed_bfloat16")
+
+  # both sides run global NMS (the reference driver's default post_mode)
+  n = 20
+  np.testing.assert_allclose(dets["scores"][0][:n], ref_scores[0][:n],
+                             atol=1e-4)
+  np.testing.assert_array_equal(dets["classes"][0][:n], ref_classes[0][:n])
+  np.testing.assert_allclose(dets["boxes"][0][:n], ref_boxes[0][:n],
+                             atol=0.1)
+  # scores actually spread (non-degenerate golden)
+  assert dets["scores"][0][0] - dets["scores"][0][n - 1] > 1e-3

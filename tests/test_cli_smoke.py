@@ -172,3 +172,25 @@ def test_run_epoch_in_child_process(tmp_path):
     os.environ.pop("AUTOML_TPU_PLATFORM", None)
   assert out["train_steps"] == 2.0
   assert CheckpointManager(f"{d}/ckpt").latest_step() == 2
+
+
+def test_main_cls_traineval_smoke(tmp_path):
+  """traineval: eval metrics written during training, best ckpt archived
+  (r2 judged this a dead flag; ref: efficientnetv2/main.py:229-289)."""
+  import json as json_lib
+  from automl_tpu.cli import main_cls
+  metrics = main_cls.main([
+      "--mode=traineval", "--model_name=efficientnetv2-test",
+      f"--model_dir={tmp_path}/cls", "--train_steps=2", "--eval_samples=8"])
+  assert "eval/top1" in metrics and 0.0 <= metrics["eval/top1"] <= 1.0
+  assert "eval/top5" in metrics
+  recs = [json_lib.loads(l) for l in
+          open(tmp_path / "cls" / "metrics.jsonl")]
+  assert any("eval/top1" in r for r in recs)
+  # best-ckpt archive by objective (ref: utils.archive_ckpt)
+  assert (tmp_path / "cls" / "archive" / "best_objective.txt").exists()
+  # standalone eval mode reuses the saved checkpoint
+  m2 = main_cls.main([
+      "--mode=eval", "--model_name=efficientnetv2-test",
+      f"--model_dir={tmp_path}/cls", "--eval_samples=8"])
+  assert 0.0 <= m2["top1"] <= 1.0

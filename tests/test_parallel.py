@@ -176,27 +176,42 @@ def test_pipeline_blocks_matches_sequential():
 
   def block_fn(layer_params, h, extras):
     del extras
-    return jnp.tanh(h @ layer_params["w"] + layer_params["b"]) + h
+    out = jnp.tanh(h @ layer_params["w"] + layer_params["b"]) + h
+    return out, jnp.sum(out ** 2) * 1e-3  # a per-layer aux, like MoE's
 
   def sequential(params, x):
     h = x
     for i in range(L):
-      h = block_fn(jax.tree_util.tree_map(lambda p: p[i], params), h,
-                   None)
+      h, _ = block_fn(jax.tree_util.tree_map(lambda p: p[i], params), h,
+                      None)
     return h
+
+  def sequential_aux(params, x):
+    h, aux = x, 0.0
+    for i in range(L):
+      h, a = block_fn(jax.tree_util.tree_map(lambda p: p[i], params), h,
+                      None)
+      aux += a
+    return aux
 
   mesh = create_mesh((1, 1, 8))
   for m_micro in (2, 4, 8):
     run = jax.jit(lambda p, x: pipeline_blocks_sharded(
         x, p, block_fn=block_fn, mesh=mesh, num_microbatches=m_micro))
-    got = run(params, x)
+    got, got_aux = run(params, x)
     want = sequential(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+    # the threaded aux: per-microbatch aux averaged == full-batch aux for
+    # this per-example-separable aux (sum over examples / M microbatches)
+    np.testing.assert_allclose(float(got_aux),
+                               float(sequential_aux(params, x)) / m_micro,
+                               rtol=1e-4)
 
   def loss_pipe(p, x):
-    return jnp.sum(jnp.square(pipeline_blocks_sharded(
-        x, p, block_fn=block_fn, mesh=mesh, num_microbatches=4)))
+    out, aux = pipeline_blocks_sharded(
+        x, p, block_fn=block_fn, mesh=mesh, num_microbatches=4)
+    return jnp.sum(jnp.square(out)) + 0.0 * aux
 
   def loss_seq(p, x):
     return jnp.sum(jnp.square(sequential(p, x)))

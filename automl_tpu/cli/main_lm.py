@@ -37,6 +37,11 @@ def parse_args(argv=None):
                  help="default: config.num_train_steps")
   p.add_argument("--learning_rate", type=float, default=None)
   p.add_argument("--optimizer", default=None)
+  p.add_argument("--prefix_lm", action="store_true",
+                 help="treat --train_file/--valid_file lines as "
+                      "input<TAB>target pairs and train a prefix-LM "
+                      "(bidirectional attention over inputs, loss on "
+                      "targets; ref: hero/data_lib.py:185-190)")
   p.add_argument("--train_file", default=None,
                  help="text file of documents (blank-line separated); "
                       "default: synthetic copy-task data")
@@ -101,16 +106,30 @@ def main(argv=None):
   eval_iter = None
   if args.train_file:
     from automl_tpu.data.lm_pipeline import (ByteTokenizer, PackedLMLoader,
+                                             PrefixLMLoader,
                                              SentencePieceModel)
     tok = (ByteTokenizer() if args.tokenizer == "byte"
            else SentencePieceModel(args.tokenizer))
     config.vocab_size = max(config.vocab_size, tok.vocab_size)
-    data_iter = iter(PackedLMLoader.from_text_file(
-        args.train_file, config.batch_size, config.seq_len, tokenizer=tok))
-    if args.valid_file:
-      eval_iter = PackedLMLoader.from_text_file(
-          args.valid_file, config.batch_size, config.seq_len, tokenizer=tok,
-          repeat=False)
+    if args.prefix_lm:
+      def read_pairs(path):
+        with open(path) as f:
+          return [tuple(l.split("\t", 1)) for l in f.read().splitlines()
+                  if "\t" in l]
+      data_iter = iter(PrefixLMLoader(read_pairs(args.train_file),
+                                      config.batch_size, config.seq_len,
+                                      tokenizer=tok))
+      if args.valid_file:
+        eval_iter = PrefixLMLoader(read_pairs(args.valid_file),
+                                   config.batch_size, config.seq_len,
+                                   tokenizer=tok, repeat=False)
+    else:
+      data_iter = iter(PackedLMLoader.from_text_file(
+          args.train_file, config.batch_size, config.seq_len, tokenizer=tok))
+      if args.valid_file:
+        eval_iter = PackedLMLoader.from_text_file(
+            args.valid_file, config.batch_size, config.seq_len, tokenizer=tok,
+            repeat=False)
   dcn_mesh_shape = (tuple(int(x) for x in args.dcn_mesh_shape.split(","))
                     if args.dcn_mesh_shape else None)
   logs = lm_trainer.run_lm(

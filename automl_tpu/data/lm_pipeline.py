@@ -67,6 +67,100 @@ def pack_documents(token_streams: Iterable[list[int]], seq_len: int,
            "loss_weights": (row != PAD_ID).astype(np.float32)}
 
 
+def pack_prefix_lm(example_streams, seq_len: int,
+                   add_bos: bool = True) -> Iterator[dict]:
+  """Packed PREFIX-LM feature conversion (ref: hero/data_lib.py:185-190
+  seqio.PrefixLMFeatureConverter; mask semantics hero/model_lib.py:405-461).
+
+  example_streams yields (input_ids, target_ids) pairs. Each example becomes
+  [BOS] inputs targets [EOS]; rows additionally carry `causal_attention`
+  (1 on the BOS+inputs prefix), which the model turns into bidirectional
+  attention WITHIN the prefix (targets stay causal), and `loss_weights`
+  that are nonzero only on target tokens — loss is never taken on the
+  prefix.
+  """
+  width = seq_len + 1
+  buf: list[int] = []
+  seg: list[int] = []
+  pref: list[int] = []
+  wts: list[float] = []
+  seg_id = 1
+
+  def emit(row, row_seg, row_pref, row_wts):
+    tokens = np.asarray(row, np.int32)
+    # loss on predicting token t+1 uses weight[t+1] (the trainer slices
+    # weights[:, 1:]): weight targets only, never pad
+    return {
+        "tokens": tokens,
+        "segment_ids": np.asarray(row_seg, np.int32),
+        "causal_attention": np.asarray(row_pref, np.int32),
+        "loss_weights": (np.asarray(row_wts, np.float32)
+                         * (tokens != PAD_ID)),
+    }
+
+  for inputs, targets in example_streams:
+    prefix = ([BOS_ID] if add_bos else []) + list(inputs)
+    tail = list(targets) + [EOS_ID]
+    buf.extend(prefix + tail)
+    seg.extend([seg_id] * (len(prefix) + len(tail)))
+    pref.extend([1] * len(prefix) + [0] * len(tail))
+    wts.extend([0.0] * len(prefix) + [1.0] * len(tail))
+    seg_id += 1
+    while len(buf) >= width:
+      yield emit(buf[:width], seg[:width], pref[:width], wts[:width])
+      buf, seg = buf[width:], seg[width:]
+      pref, wts = pref[width:], wts[width:]
+  if buf:
+    pad = width - len(buf)
+    yield emit(buf + [PAD_ID] * pad, seg + [0] * pad, pref + [0] * pad,
+               wts + [0.0] * pad)
+
+
+class PrefixLMLoader:
+  """(input_text, target_text) pairs -> packed prefix-LM batches
+  {tokens, segment_ids, causal_attention, loss_weights}.
+
+  The causal_attention feature drives bidirectional attention over each
+  example's prefix; loss_weights restrict the loss to target tokens."""
+
+  def __init__(self, pairs, batch_size: int, seq_len: int, tokenizer=None,
+               repeat: bool = True, shard_index: int = 0,
+               num_shards: int = 1):
+    self.pairs = list(pairs)
+    self.batch_size = batch_size
+    self.seq_len = seq_len
+    self.tokenizer = tokenizer or ByteTokenizer()
+    self.repeat = repeat
+    self.shard_index = shard_index
+    self.num_shards = num_shards
+
+  def __iter__(self):
+    def examples():
+      mine = self.pairs[self.shard_index::self.num_shards]
+      epoch = itertools.cycle(mine) if self.repeat else iter(mine)
+      for inp, tgt in epoch:
+        yield (self.tokenizer.encode(inp), self.tokenizer.encode(tgt))
+
+    rows = pack_prefix_lm(examples(), self.seq_len)
+    width = self.seq_len + 1
+    pad_row = {
+        "tokens": np.full((width,), PAD_ID, np.int32),
+        "segment_ids": np.zeros((width,), np.int32),
+        "causal_attention": np.zeros((width,), np.int32),
+        "loss_weights": np.zeros((width,), np.float32),
+    }
+    while True:
+      batch = list(itertools.islice(rows, self.batch_size))
+      if len(batch) < self.batch_size:
+        if batch and not self.repeat:
+          batch += [pad_row] * (self.batch_size - len(batch))
+          yield {k: np.stack([r[k] for r in batch]) for k in batch[0]}
+        if not self.repeat:
+          return
+        continue
+      yield {k: np.stack([r[k] for r in batch]) for k in batch[0]}
+
+
 # ---------------------------------------------------------------------------
 # SentencePiece: minimal self-contained .model reader + unigram encoder.
 #

@@ -238,11 +238,22 @@ def rope(x, positions, theta: float = 10000.0):
 
 
 def causal_mask(q_positions, k_positions, window_size: Optional[int] = None,
-                segment_ids_q=None, segment_ids_k=None):
-  """[..., Tq, Tk] boolean mask: True = attend (ref: hero/model_lib.py:405-461)."""
-  mask = q_positions[..., :, None] >= k_positions[..., None, :]
+                segment_ids_q=None, segment_ids_k=None,
+                prefix_q=None, prefix_k=None):
+  """[..., Tq, Tk] boolean mask: True = attend (ref: hero/model_lib.py:405-461).
+
+  prefix_q/prefix_k: optional [..., T] {0,1} prefix-LM markers (seqio's
+  decoder_causal_attention, ref: hero/data_lib.py:185-190): positions
+  marked 1 attend each other BIDIRECTIONALLY (T5-style attend(i,j) =
+  causal(i,j) OR (prefix_i AND prefix_j)); the window and segment
+  constraints still apply on top."""
+  causal = q_positions[..., :, None] >= k_positions[..., None, :]
   if window_size is not None:
-    mask &= (q_positions[..., :, None] - k_positions[..., None, :]) < window_size
+    causal &= (q_positions[..., :, None] - k_positions[..., None, :]) < window_size
+  mask = causal
+  if prefix_q is not None:
+    bidir = (prefix_q[..., :, None] > 0) & (prefix_k[..., None, :] > 0)
+    mask = mask | bidir
   if segment_ids_q is not None:
     mask &= segment_ids_q[..., :, None] == segment_ids_k[..., None, :]
   return mask
@@ -693,15 +704,22 @@ class TransformerLM(Module):
           k_out, (cfg.model_dim, cfg.vocab_size))).astype(dt)
     return params
 
-  def _mask(self, positions, kv_positions, segment_ids=None):
+  def _mask(self, positions, kv_positions, segment_ids=None,
+            causal_attention=None):
     return causal_mask(positions, kv_positions, self.cfg.window_size,
-                       segment_ids, segment_ids)
+                       segment_ids, segment_ids,
+                       prefix_q=causal_attention, prefix_k=causal_attention)
 
   def apply(self, params, tokens, positions=None, segment_ids=None,
             cache=None, cache_index=None, kv_positions=None,
-            return_aux=False):
+            causal_attention=None, return_aux=False):
     """tokens: [B, T] int32. cache: optional per-layer tuple of
     {k, v: [B, S, n, h]} (from init_cache).
+
+    causal_attention: optional [B, T] {0,1} prefix-LM markers — positions
+    marked 1 (the packed example prefixes) attend each other
+    bidirectionally; everything else stays causal
+    (ref: hero/data_lib.py:185-190 PrefixLMFeatureConverter).
 
     Returns (logits [B, T, V], new_cache or None); with return_aux=True,
     (logits, new_cache, aux) where aux is the summed MoE load-balance loss
@@ -726,12 +744,15 @@ class TransformerLM(Module):
     # segment_ids directly — skip materializing the [B, T, T] mask there.
     ring_active = (cfg.get("use_ring_attention") and cache is None
                    and _mesh_axis_active("model"))
-    uses_fused_mask = cache is None and (
+    uses_fused_mask = causal_attention is None and cache is None and (
         ring_active
         or cfg.get("use_flash_attention")
         or (cfg.get("use_window_chunk") and cfg.get("window_chunk_size")))
+    # prefix-LM bidirectional masks need the materialized mask path: the
+    # fused flash/ring/chunk kernels only know causal(+window+segment)
     mask = (None if uses_fused_mask
-            else self._mask(positions, kv_positions, segment_ids))
+            else self._mask(positions, kv_positions, segment_ids,
+                            causal_attention))
 
     if cache is not None:
       if cfg.get("use_ring_attention") and _mesh_axis_active("model") \

@@ -135,13 +135,34 @@ class Conv2D(nn.Module):
 
 
 class DepthwiseConv2D(Conv2D):
-  """Depthwise conv: groups == channels, HWIO kernel with I=1."""
+  """Depthwise conv: groups == channels, HWIO kernel with I=1.
+
+  An opt-in Pallas single-pass filter-gradient kernel exists
+  (ops/depthwise.py enable_pallas_filter_grad) — measured whole-step it
+  REGRESSED D0 training (45.8 -> 54.7 ms; see the honest-negative note
+  there), so the default stays on XLA's per-tap fusions."""
 
   def __init__(self, channels: int, kernel_size=3, strides=1, padding="SAME",
                use_bias=False, name="depthwise_conv2d"):
     super().__init__(channels, channels, kernel_size, strides, padding,
                      use_bias, groups=channels,
                      kernel_init=depthwise_kernel_init, name=name)
+
+  def apply(self, params, x):
+    from automl_tpu.ops import depthwise
+    if not depthwise.pallas_filter_grad_enabled():
+      # default: plain XLA conv WITHOUT the custom_vjp wrapper — even a
+      # pass-through custom_vjp boundary blocks XLA from fusing the
+      # backward reduces with neighboring grads (measured regression,
+      # ops/depthwise.py honest-negative note)
+      return super().apply(params, x)
+    policy = get_policy()
+    kernel = policy.cast_to_compute(quant.maybe_quant_kernel(params["kernel"]))
+    x = policy.cast_to_compute(x)
+    y = depthwise.depthwise_conv(x, kernel, self.strides, self.padding)
+    if self.use_bias:
+      y = y + policy.cast_to_compute(params["bias"])
+    return quant.maybe_quant_activation(y)
 
 
 class SeparableConv2D(nn.Module):

@@ -81,12 +81,16 @@ def make_lm_train_step(model: lm_lib.TransformerLM, tx,
     segment_ids = batch.get("segment_ids")
     if segment_ids is not None:
       segment_ids = segment_ids[:, :-1]  # packed docs: no cross-doc attention
+    causal_attention = batch.get("causal_attention")
+    if causal_attention is not None:
+      causal_attention = causal_attention[:, :-1]  # prefix-LM bidir markers
 
     aux_w = float(model.cfg.get("moe_aux_loss_weight", 0.0) or 0.0) \
         if model.cfg.get("moe_num_experts") else 0.0
 
     def loss_fn(params):
       logits, _, aux = model(params, inputs, segment_ids=segment_ids,
+                             causal_attention=causal_attention,
                              return_aux=True)
       return lm_lib.lm_loss(logits, targets, weights) + aux_w * aux
 
@@ -151,7 +155,11 @@ def make_lm_eval_step(model: lm_lib.TransformerLM):
     segment_ids = batch.get("segment_ids")
     if segment_ids is not None:
       segment_ids = segment_ids[:, :-1]
-    logits, _ = model(params, inputs, segment_ids=segment_ids)
+    causal_attention = batch.get("causal_attention")
+    if causal_attention is not None:
+      causal_attention = causal_attention[:, :-1]
+    logits, _ = model(params, inputs, segment_ids=segment_ids,
+                      causal_attention=causal_attention)
     loss = lm_lib.lm_loss(logits, targets, weights)
     return loss, jnp.sum(weights)
 

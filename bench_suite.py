@@ -248,6 +248,55 @@ def bench_lm_decode_int8():
           "prefill": 128, "new_tokens": new_tokens}
 
 
+def bench_lm_moe_vs_dense():
+  """MoE at width (r2 verdict weak #6 / next #8): d1024 L4, 8 experts top-2
+  expand-4 vs a DENSE expand-8 FFN — matched ACTIVE FLOPs per token
+  (2 x 2·d·4d == 2·d·8d), MoE carries ~3.4x the FFN params. Reports both
+  step times so "where EP pays" is a number, not a claim."""
+  from automl_tpu.models import lm as lm_lib
+  from automl_tpu.train import lm_trainer, optimizers as opt_lib
+
+  def build(moe: bool):
+    cfg = lm_lib.lm_defaults()
+    cfg.update(dict(model_dim=1024, n_layers=4, n_heads=8, n_kv_heads=8,
+                    head_dim=128, vocab_size=32000, seq_len=1024,
+                    use_flash_attention=True))
+    if moe:
+      cfg.update(dict(expand_factor=4, moe_num_experts=8, moe_top_k=2,
+                      moe_capacity_factor=1.25))
+    else:
+      cfg.update(dict(expand_factor=8))
+    model = lm_lib.TransformerLM(cfg, lm_lib.ShardingConfig.data_parallel())
+    params = jax.jit(model.init)(jax.random.key(0))
+    tx = opt_lib.build_optimizer("lion", 1e-3)
+    state = lm_trainer.LMTrainState(jnp.zeros((), jnp.int32), params,
+                                    tx.init(params))
+    step_fn = jax.jit(lm_trainer.make_lm_train_step(model, tx))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    return cfg, step_fn, state, n_params
+
+  out = {"metric": "lm_moe_vs_dense_matched_flops", "unit": "ms/step",
+         "batch": 8, "seq_len": 1024, "dims": "d1024 L4 E8 top2"}
+  for name, moe in (("dense_x8", False), ("moe_e8_top2_x4", True)):
+    cfg, step_fn, state, n_params = build(moe)
+    def make_batch(i):
+      toks = jax.random.randint(jax.random.key(i), (8, cfg.seq_len + 1),
+                                0, cfg.vocab_size)
+      return {"tokens": toks}
+    state, _ = step_fn(state, make_batch(0))
+    jax.block_until_ready(state.params)
+    args = [(state, make_batch(i + 1)) for i in range(PROFILED_CALLS)]
+    with tempfile.TemporaryDirectory() as d:
+      ms = device_busy_ms_per_call(
+          lambda s, b: step_fn(s, b)[1]["loss"], args, d)
+    out[name + "_ms"] = round(ms, 2)
+    out[name + "_params_m"] = round(n_params / 1e6, 1)
+  out["value"] = out["moe_e8_top2_x4_ms"]
+  out["moe_overhead_x"] = round(
+      out["moe_e8_top2_x4_ms"] / out["dense_x8_ms"], 3)
+  return out
+
+
 WORKLOADS = {
     "d0_train": bench_d0_train,
     "effnetv2s_train": bench_effnetv2s_train,
@@ -257,6 +306,7 @@ WORKLOADS = {
     "lm_train": bench_lm_train,
     "lm_decode": bench_lm_decode,
     "lm_decode_int8": bench_lm_decode_int8,
+    "lm_moe": bench_lm_moe_vs_dense,
 }
 
 

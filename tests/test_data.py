@@ -116,11 +116,17 @@ def test_det_eval_preprocess_scale():
   out, scale = preprocessing.det_eval_preprocess(img, out_size=32)
   assert out.shape == (32, 32, 3)
   np.testing.assert_allclose(scale, 40 / 32, rtol=1e-6)
-  # bottom region (beyond 20 * 32/40 = 16 rows) is blanked to normalized zero
-  blank = preprocessing.normalize_image(jnp.zeros((1, 1, 3)))
-  np.testing.assert_allclose(np.asarray(out[20:]),
-                             np.broadcast_to(np.asarray(blank), (12, 32, 3)),
-                             atol=1e-3)
+  # the pad region is zero IN NORMALIZED SPACE: the reference normalizes
+  # before resizing and pads the normalized image with zeros
+  # (dataloader.py:59-65 normalize -> :129-141 resize_and_crop + pad) —
+  # r3 fixed the old pad-then-normalize ordering for ckpt-parity exactness
+  np.testing.assert_allclose(np.asarray(out[17:]),
+                             np.zeros((15, 32, 3)), atol=1e-6)
+  # content rows are normalized 255s (white)
+  white = preprocessing.normalize_image(jnp.full((1, 1, 3), 255.0))
+  np.testing.assert_allclose(np.asarray(out[:16]),
+                             np.broadcast_to(np.asarray(white), (16, 32, 3)),
+                             rtol=1e-5)
 
 
 def test_synthetic_loaders():

@@ -397,6 +397,16 @@ def reference_model_shim():
     tfa.layers = tfa_layers
     sys.modules["tensorflow_addons"] = tfa
     sys.modules["tensorflow_addons.layers"] = tfa_layers
+  if "tensorflow_addons.image" not in sys.modules:
+    # import-time stub only (the reference's autoaugment imports it at
+    # module scope; the eval paths we exercise never call these ops)
+    tfa_image = types.ModuleType("tensorflow_addons.image")
+    def _unavailable(*_a, **_k):
+      raise NotImplementedError("tensorflow_addons.image is stubbed")
+    for _name in ("transform", "translate", "rotate", "shear_x", "shear_y"):
+      setattr(tfa_image, _name, _unavailable)
+    sys.modules["tensorflow_addons"].image = tfa_image
+    sys.modules["tensorflow_addons.image"] = tfa_image
   if not hasattr(tf_keras.callbacks, "experimental"):
     tf_keras.callbacks.experimental = types.SimpleNamespace(
         BackupAndRestore=tf_keras.callbacks.BackupAndRestore)

@@ -128,7 +128,26 @@ class ImageNetTFRecordLoader:
       })
       image = tf.io.decode_image(feats["image/encoded"], channels=3,
                                  expand_animations=False)
-      image = tf.image.resize(image, (size, size), method="bilinear")
+      if c["is_training"] or size <= 32:
+        # tiny canvases (test fixtures) have no isize+32 headroom
+        image = tf.image.resize(image, (size, size), method="bilinear")
+      else:
+        # EXACT reference eval geometry (efficientnetv2/preprocessing.py:
+        # 58-70): center-crop ratio*min(h,w) from the ORIGINAL image (only
+        # when isize < 320 — larger models eval on the full frame), then
+        # one bilinear resize to isize. The canvas contract puts eval
+        # isize at canvas_size - 32; consumers must pass precropped=True
+        # to cls_eval_preprocess (no second crop).
+        isize = size - 32
+        if isize < 320:
+          shape = tf.shape(image)
+          h, w = shape[0], shape[1]
+          ratio = isize / (isize + 32)
+          crop = tf.cast(ratio * tf.cast(tf.minimum(h, w), tf.float32),
+                         tf.int32)
+          image = tf.image.crop_to_bounding_box(
+              image, (h - crop) // 2, (w - crop) // 2, crop, crop)
+        image = tf.image.resize(image, (isize, isize), method="bilinear")
       image = tf.cast(tf.round(image), tf.uint8)
       label = tf.one_hot(feats["image/class/label"], c["num_classes"])
       return {"image": image, "label": label}
@@ -177,7 +196,21 @@ class MultiLabelTFRecordLoader:
       })
       image = tf.io.decode_image(feats["image"], channels=3,
                                  expand_animations=False)
-      image = tf.image.resize(image, (size, size), method="bilinear")
+      if c["is_training"] or size <= 32:
+        # tiny canvases (test fixtures) have no isize+32 headroom
+        image = tf.image.resize(image, (size, size), method="bilinear")
+      else:
+        # reference eval geometry, as in ImageNetTFRecordLoader above
+        isize = size - 32
+        if isize < 320:
+          shape = tf.shape(image)
+          h, w = shape[0], shape[1]
+          ratio = isize / (isize + 32)
+          crop = tf.cast(ratio * tf.cast(tf.minimum(h, w), tf.float32),
+                         tf.int32)
+          image = tf.image.crop_to_bounding_box(
+              image, (h - crop) // 2, (w - crop) // 2, crop, crop)
+        image = tf.image.resize(image, (isize, isize), method="bilinear")
       image = tf.cast(tf.round(image), tf.uint8)
       ids = tf.cast(feats["labels"][:max_labels], tf.int32)
       ids = tf.pad(ids, [[0, max_labels - tf.shape(ids)[0]]],

@@ -154,15 +154,24 @@ def cls_finetune_preprocess(images, rng, out_size: int, augname: str = "ft",
 
 
 def cls_eval_preprocess(images, out_size: int, crop_pad: int = 32,
-                        norm: str = "v2"):
-  """Center crop fraction out/(out+pad) then resize (ref: preprocessing.py:58-70)."""
+                        norm: str = "v2", precropped: bool = False):
+  """Center crop fraction out/(out+pad) then resize (ref: preprocessing.py:58-70).
+
+  precropped=True (or images already exactly out_size x out_size): the host
+  loader has done the reference-exact eval geometry (crop from the ORIGINAL
+  + bilinear resize — pipeline.ImageNetTFRecordLoader eval branch); only
+  normalization remains. The device crop-from-canvas path is the fallback
+  for callers feeding raw canvases (benchmarks, ad-hoc images)."""
   b, h, w, c = images.shape
+  if precropped or (h, w) == (out_size, out_size):
+    return normalize_cls(images.astype(jnp.float32), norm)
   frac = out_size / (out_size + crop_pad)
   crop_h, crop_w = int(h * frac), int(w * frac)
   y0, x0 = (h - crop_h) // 2, (w - crop_w) // 2
   crop = images[:, y0:y0 + crop_h, x0:x0 + crop_w]
   out = jax.image.resize(crop.astype(jnp.float32),
-                         (b, out_size, out_size, c), method="bicubic")
+                         (b, out_size, out_size, c), method="bilinear",
+                         antialias=False)
   return normalize_cls(out, norm)
 
 

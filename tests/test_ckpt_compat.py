@@ -198,3 +198,43 @@ def test_effdet_logits_parity_with_reference(model_name):
                                atol=5e-4, rtol=1e-3, err_msg=f"cls level {lvl}")
     np.testing.assert_allclose(np.asarray(ours_b), ref_b.numpy(),
                                atol=5e-4, rtol=1e-3, err_msg=f"box level {lvl}")
+
+
+def test_cls_eval_preprocess_matches_reference():
+  """The full classification eval input path (host loader geometry +
+  device normalization) must reproduce the reference's
+  preprocess_image(is_training=False) exactly: center-crop
+  ratio*min(h,w) from the ORIGINAL image only when isize < 320, one
+  bilinear resize, (x-128)/128 — top-1 parity depends on this geometry
+  (ref: efficientnetv2/preprocessing.py:58-70, 110-154)."""
+  import tensorflow as tf
+  from automl_tpu.ckpt import tf_compat
+  tf_compat.reference_model_shim()
+  ref_pre = tf_compat.import_reference_module("efficientnetv2",
+                                              "preprocessing")
+  import jax.numpy as jnp
+  from automl_tpu.data import preprocessing as our_pre
+
+  rng = np.random.RandomState(0)
+  for (h, w, isize) in [(300, 220, 224), (240, 360, 128), (200, 260, 384)]:
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    want = ref_pre.preprocess_image(tf.constant(img), isize,
+                                    is_training=False).numpy()
+    # our host loader's eval branch (same TF ops; keep in sync with
+    # pipeline.ImageNetTFRecordLoader.parse)
+    t = tf.constant(img)
+    if isize < 320:
+      ratio = isize / (isize + 32)
+      crop = int(ratio * min(h, w))
+      y, x = (h - crop) // 2, (w - crop) // 2
+      t = tf.image.crop_to_bounding_box(t, y, x, crop, crop)
+    t = tf.image.resize(t, (isize, isize), method="bilinear")
+    hosted = tf.cast(tf.round(t), tf.uint8).numpy()
+    ours = np.asarray(our_pre.cls_eval_preprocess(
+        jnp.asarray(hosted[None]), isize, precropped=True))
+    # the single uint8 round-trip on the host canvas bounds the error
+    np.testing.assert_allclose(ours[0], want, atol=0.51 / 128.0)
+  # device fallback path for raw canvases still normalizes + resizes
+  canvas = rng.randint(0, 256, (1, 160, 160, 3)).astype(np.uint8)
+  out = our_pre.cls_eval_preprocess(jnp.asarray(canvas), 128)
+  assert out.shape == (1, 128, 128, 3)

@@ -25,6 +25,11 @@ def parse_args(argv=None):
   p.add_argument("--data_dir", default=None,
                  help="TFRecord dir for --dataset (None = synthetic)")
   p.add_argument("--train_file_pattern", default=None)
+  p.add_argument("--native_loader", action="store_true",
+                 help="use the framework's own C++ parallel input pipeline "
+                      "(reader thread + JPEG worker pool + prefetch ring) "
+                      "instead of tf.data for --train_file_pattern")
+  p.add_argument("--native_workers", type=int, default=4)
   p.add_argument("--val_file_pattern", default=None)
   p.add_argument("--eval_samples", type=int, default=50000)
   p.add_argument("--eval_every", type=int, default=0,
@@ -94,10 +99,18 @@ def main(argv=None):
   data_iter = None
   if args.train_file_pattern and config.data.ds_name != "null":
     canvas = int(runners.resolve_train_size(config) * 1.15) // 2 * 2
-    data_iter = iter(pipeline.ImageNetTFRecordLoader(
-        args.train_file_pattern, is_training=True, batch_size=local_batch,
-        canvas_size=canvas, num_classes=config.data.num_classes,
-        shard_index=proc_id, num_shards=n_proc))
+    if args.native_loader:
+      import glob as glob_lib
+      from automl_tpu.data import native_loader as nl
+      files = sorted(glob_lib.glob(args.train_file_pattern))
+      data_iter = iter(nl.NativeParallelClassificationLoader(
+          files[proc_id::n_proc] or files, local_batch, canvas,
+          config.data.num_classes, num_workers=args.native_workers))
+    else:
+      data_iter = iter(pipeline.ImageNetTFRecordLoader(
+          args.train_file_pattern, is_training=True, batch_size=local_batch,
+          canvas_size=canvas, num_classes=config.data.num_classes,
+          shard_index=proc_id, num_shards=n_proc))
   elif args.data_dir and spec is not None:
     canvas = int(runners.resolve_train_size(config) * 1.15) // 2 * 2
     data_iter = iter(ds_lib.build_dataset(config, "train", local_batch,

@@ -30,7 +30,7 @@ def build_native(force: bool = False) -> str:
       os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH)):
     subprocess.run(
         ["g++", "-O3", "-shared", "-fPIC", _SRC_PATH, "-ljpeg",
-         "-o", _LIB_PATH],
+         "-lpthread", "-o", _LIB_PATH],
         check=True, capture_output=True)
   return _LIB_PATH
 
@@ -51,6 +51,17 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int)]
+    lib.pipeline_create.restype = ctypes.c_void_p
+    lib.pipeline_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.pipeline_next_batch.restype = ctypes.c_int
+    lib.pipeline_next_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
+    lib.pipeline_dropped.restype = ctypes.c_int64
+    lib.pipeline_dropped.argtypes = [ctypes.c_void_p]
+    lib.pipeline_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
   return _lib
 
@@ -224,6 +235,59 @@ class NativeClassificationLoader:
             images, labels = [], []
       if not self.repeat:
         return
+
+
+class NativeParallelClassificationLoader:
+  """Fully-native parallel input pipeline: C++ reader thread -> JPEG-decode
+  worker pool -> bounded prefetch ring; Python only receives ready uint8
+  canvas batches (proto parsing happens in C++ too).
+
+  The framework-native answer to tf.data's interleave/parallel-map/prefetch
+  runtime (SURVEY.md 2.6) — everything between file bytes and the device
+  batch runs off the Python thread, so host decode overlaps device steps.
+  Batch order is nondeterministic across workers (like tf.data with
+  deterministic=False)."""
+
+  def __init__(self, files: list[str], batch_size: int, canvas_size: int,
+               num_classes: int, num_workers: int = 4,
+               prefetch_batches: int = 4, repeat: bool = True):
+    self.files = [f.encode() for f in files]
+    self.batch_size = batch_size
+    self.canvas = canvas_size
+    self.num_classes = num_classes
+    self.num_workers = num_workers
+    self.prefetch_batches = prefetch_batches
+    self.repeat = repeat
+
+  def __iter__(self):
+    lib = _load()
+    arr = (ctypes.c_char_p * len(self.files))(*self.files)
+    handle = lib.pipeline_create(arr, len(self.files), self.batch_size,
+                                 self.canvas, self.canvas, self.num_workers,
+                                 self.prefetch_batches, int(self.repeat))
+    if not handle:
+      raise RuntimeError("pipeline_create failed")
+    b, s = self.batch_size, self.canvas
+    try:
+      while True:
+        images = np.empty((b, s, s, 3), np.uint8)
+        labels = np.empty((b,), np.int64)
+        hw = np.empty((b, 2), np.int32)
+        got = lib.pipeline_next_batch(
+            handle, images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if got == 0:
+          return
+        onehot = np.zeros((got, self.num_classes), np.float32)
+        valid = (labels[:got] >= 0) & (labels[:got] < self.num_classes)
+        onehot[np.arange(got)[valid], labels[:got][valid]] = 1.0
+        yield {"image": images[:got], "label": onehot,
+               "content_hw": hw[:got]}
+        if got < b:
+          return
+    finally:
+      lib.pipeline_destroy(handle)
 
 
 # ---------------------------------------------------------------------------

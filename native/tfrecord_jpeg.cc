@@ -194,3 +194,306 @@ int jpeg_decode_resize(const uint8_t* data, int64_t len, uint8_t* out,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Parallel batch pipeline: reader thread -> JPEG-decode worker pool ->
+// bounded ready queue of examples -> batch assembly in next_batch().
+//
+// The reference leans on tf.data's C++ runtime for interleave/parallel-map/
+// prefetch (SURVEY.md 2.6); this is the framework-native equivalent for
+// classification TFRecords ({"image/encoded", "image/class/label"}).
+// Examples are proto-parsed here too (minimal tf.Example wire-format walk),
+// so Python only sees ready uint8 canvas batches.
+// ---------------------------------------------------------------------------
+
+#include <chrono>
+#include <condition_variable>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// --- minimal tf.Example parsing (wire format) ---
+
+struct Slice { const uint8_t* p; size_t n; };
+
+static bool read_varint_c(const uint8_t*& p, const uint8_t* end,
+                          uint64_t* out) {
+  uint64_t v = 0; int shift = 0;
+  while (p < end) {
+    uint8_t b = *p++;
+    v |= (uint64_t)(b & 0x7F) << shift;
+    if (!(b & 0x80)) { *out = v; return true; }
+    shift += 7;
+    if (shift > 63) return false;
+  }
+  return false;
+}
+
+// walk a message body, returning the bytes of the LAST occurrence of a
+// length-delimited field `want`
+static bool find_field(Slice msg, int want, Slice* out) {
+  const uint8_t* p = msg.p;
+  const uint8_t* end = msg.p + msg.n;
+  bool found = false;
+  while (p < end) {
+    uint64_t tag;
+    if (!read_varint_c(p, end, &tag)) return found;
+    int field = (int)(tag >> 3), wire = (int)(tag & 7);
+    if (wire == 2) {
+      uint64_t len;
+      if (!read_varint_c(p, end, &len) || p + len > end) return found;
+      if (field == want) { *out = {p, (size_t)len}; found = true; }
+      p += len;
+    } else if (wire == 0) {
+      uint64_t v; if (!read_varint_c(p, end, &v)) return found;
+      if (field == want) { out->p = nullptr; out->n = v; found = true; }
+    } else if (wire == 5) { p += 4; }
+    else if (wire == 1) { p += 8; }
+    else return found;
+  }
+  return found;
+}
+
+// Example -> features(1) -> map entries: key(1) string, value(2) Feature.
+// Feature: bytes_list(1)/float_list(2)/int64_list(3), each with values(1).
+static bool example_lookup(Slice example, const char* key, Slice* feature) {
+  Slice features;
+  if (!find_field(example, 1, &features)) return false;
+  const uint8_t* p = features.p;
+  const uint8_t* end = features.p + features.n;
+  size_t key_len = strlen(key);
+  // features message: repeated map entries are field 1 submessages
+  Slice body = features;
+  const uint8_t* q = body.p;
+  while (q < end) {
+    uint64_t tag;
+    const uint8_t* qq = q;
+    if (!read_varint_c(qq, end, &tag)) return false;
+    if ((tag >> 3) != 1 || (tag & 7) != 2) return false;
+    uint64_t len;
+    if (!read_varint_c(qq, end, &len) || qq + len > end) return false;
+    Slice entry{qq, (size_t)len};
+    Slice k, v;
+    if (find_field(entry, 1, &k) && k.n == key_len &&
+        memcmp(k.p, key, key_len) == 0 && find_field(entry, 2, &v)) {
+      *feature = v;
+      return true;
+    }
+    q = qq + len;
+  }
+  (void)p;
+  return false;
+}
+
+static bool feature_bytes(Slice feature, Slice* out) {
+  Slice blist;
+  if (!find_field(feature, 1, &blist)) return false;
+  return find_field(blist, 1, out);  // first value
+}
+
+static bool feature_int64(Slice feature, int64_t* out) {
+  Slice ilist;
+  if (!find_field(feature, 3, &ilist)) return false;
+  const uint8_t* p = ilist.p;
+  const uint8_t* end = ilist.p + ilist.n;
+  uint64_t tag, v;
+  if (!read_varint_c(p, end, &tag)) return false;
+  if ((tag & 7) == 2) {  // packed
+    uint64_t len;
+    if (!read_varint_c(p, end, &len)) return false;
+    const uint8_t* e2 = p + len;
+    if (!read_varint_c(p, e2, &v)) return false;
+  } else {
+    if (!read_varint_c(p, end, &v)) return false;
+  }
+  *out = (int64_t)v;
+  return true;
+}
+
+// --- pipeline ---
+
+struct ExampleOut {
+  std::vector<uint8_t> canvas;
+  int64_t label;
+  int content_h, content_w;
+};
+
+struct Pipeline {
+  std::vector<std::string> files;
+  int batch, canvas_h, canvas_w;
+  size_t prefetch_max;      // bound on decoded examples waiting
+  bool repeat;
+
+  std::mutex mu;
+  std::condition_variable cv_work, cv_ready;
+  std::deque<std::vector<uint8_t>> work;   // raw records
+  std::deque<ExampleOut> ready;
+  bool done_reading = false;
+  bool stop = false;
+  int64_t dropped = 0;      // corrupt/undecodable examples (counted, skipped)
+
+  std::thread reader;
+  std::vector<std::thread> workers;
+};
+
+static void reader_main(Pipeline* pl) {
+  do {
+    for (const auto& path : pl->files) {
+      void* r = tfrecord_open(path.c_str(), 1);
+      if (!r) continue;
+      const uint8_t* data;
+      int64_t n;
+      while ((n = tfrecord_next(r, &data)) >= 0) {
+        std::vector<uint8_t> rec(data, data + n);
+        std::unique_lock<std::mutex> lk(pl->mu);
+        pl->cv_work.wait(lk, [&] {
+          return pl->stop || pl->work.size() < pl->prefetch_max;
+        });
+        if (pl->stop) { tfrecord_close(r); return; }
+        pl->work.push_back(std::move(rec));
+        pl->cv_ready.notify_all();
+      }
+      tfrecord_close(r);
+      if (pl->stop) return;
+    }
+  } while (pl->repeat && !pl->stop);
+  std::lock_guard<std::mutex> lk(pl->mu);
+  pl->done_reading = true;
+  pl->cv_ready.notify_all();
+}
+
+static void worker_main(Pipeline* pl) {
+  for (;;) {
+    std::vector<uint8_t> rec;
+    {
+      std::unique_lock<std::mutex> lk(pl->mu);
+      pl->cv_ready.wait(lk, [&] {
+        return pl->stop || !pl->work.empty() || pl->done_reading;
+      });
+      if (pl->stop) return;
+      if (pl->work.empty()) {
+        if (pl->done_reading) return;
+        continue;
+      }
+      rec = std::move(pl->work.front());
+      pl->work.pop_front();
+      pl->cv_work.notify_all();
+    }
+    Slice ex{rec.data(), rec.size()};
+    Slice img_feat, jpeg;
+    int64_t label = -1;
+    ExampleOut out;
+    bool ok = example_lookup(ex, "image/encoded", &img_feat) &&
+              feature_bytes(img_feat, &jpeg);
+    if (ok) {
+      Slice lab_feat;
+      if (example_lookup(ex, "image/class/label", &lab_feat))
+        feature_int64(lab_feat, &label);
+      out.canvas.resize((size_t)pl->canvas_h * pl->canvas_w * 3);
+      int hw[2] = {0, 0};
+      ok = jpeg_decode_resize(jpeg.p, (int64_t)jpeg.n, out.canvas.data(),
+                              pl->canvas_h, pl->canvas_w, hw) == 0;
+      out.content_h = hw[0];
+      out.content_w = hw[1];
+      out.label = label;
+    }
+    std::lock_guard<std::mutex> lk(pl->mu);
+    if (ok) {
+      pl->ready.push_back(std::move(out));
+    } else {
+      pl->dropped++;
+    }
+    pl->cv_ready.notify_all();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* pipeline_create(const char** paths, int n_paths, int batch,
+                      int canvas_h, int canvas_w, int n_workers,
+                      int prefetch_batches, int repeat) {
+  auto* pl = new Pipeline();
+  for (int i = 0; i < n_paths; i++) pl->files.emplace_back(paths[i]);
+  pl->batch = batch;
+  pl->canvas_h = canvas_h;
+  pl->canvas_w = canvas_w;
+  pl->prefetch_max = (size_t)prefetch_batches * batch;
+  pl->repeat = repeat != 0;
+  pl->reader = std::thread(reader_main, pl);
+  if (n_workers < 1) n_workers = 1;
+  for (int i = 0; i < n_workers; i++)
+    pl->workers.emplace_back(worker_main, pl);
+  return pl;
+}
+
+// Fill images [batch, H, W, 3] u8, labels [batch] i64, content_hw
+// [batch, 2] i32. Returns number of examples written (< batch only at end
+// of a non-repeating stream; 0 = exhausted).
+int pipeline_next_batch(void* handle, uint8_t* images, int64_t* labels,
+                        int32_t* content_hw) {
+  auto* pl = (Pipeline*)handle;
+  size_t canvas_bytes = (size_t)pl->canvas_h * pl->canvas_w * 3;
+  int got = 0;
+  while (got < pl->batch) {
+    ExampleOut ex;
+    {
+      std::unique_lock<std::mutex> lk(pl->mu);
+      pl->cv_ready.wait(lk, [&] {
+        if (pl->stop || !pl->ready.empty()) return true;
+        // exhausted: reader finished, no work queued, workers idle
+        return pl->done_reading && pl->work.empty();
+      });
+      if (pl->stop) return got;
+      if (pl->ready.empty()) {
+        // workers may still be decoding in-flight records; only conclude
+        // exhaustion when nothing can arrive anymore
+        if (pl->done_reading && pl->work.empty()) {
+          // wait a moment for in-flight decodes
+          if (pl->cv_ready.wait_for(lk, std::chrono::milliseconds(50),
+                                    [&] { return !pl->ready.empty(); })) {
+            // fallthrough to pop below
+          } else {
+            return got;
+          }
+        } else {
+          continue;
+        }
+      }
+      ex = std::move(pl->ready.front());
+      pl->ready.pop_front();
+      pl->cv_work.notify_all();
+    }
+    memcpy(images + (size_t)got * canvas_bytes, ex.canvas.data(),
+           canvas_bytes);
+    labels[got] = ex.label;
+    content_hw[got * 2] = ex.content_h;
+    content_hw[got * 2 + 1] = ex.content_w;
+    got++;
+  }
+  return got;
+}
+
+int64_t pipeline_dropped(void* handle) {
+  return ((Pipeline*)handle)->dropped;
+}
+
+void pipeline_destroy(void* handle) {
+  auto* pl = (Pipeline*)handle;
+  {
+    std::lock_guard<std::mutex> lk(pl->mu);
+    pl->stop = true;
+  }
+  pl->cv_work.notify_all();
+  pl->cv_ready.notify_all();
+  pl->reader.join();
+  for (auto& w : pl->workers) w.join();
+  delete pl;
+}
+
+}  // extern "C"

@@ -124,3 +124,68 @@ def test_native_classification_loader_end_to_end(lib, tmp_path):
   assert batch["label"].shape == (2, 5)
   assert batch["label"][0, 0] == 1.0 and batch["label"][1, 1] == 1.0
   assert abs(int(batch["image"][1].mean()) - 40) < 5
+
+
+def test_native_parallel_pipeline_matches_serial(tmp_path):
+  """The C++ parallel pipeline (reader thread + decode worker pool +
+  prefetch ring, proto parsing in C++) yields the same example SET as the
+  serial native loader — order-free comparison (workers race, like
+  tf.data deterministic=False)."""
+  import io
+  from PIL import Image
+  from automl_tpu.data import native_loader as nl
+
+  rng = np.random.RandomState(0)
+  n, canvas = 10, 32
+  path = str(tmp_path / "data.tfrecord")
+  with nl.TFRecordWriter(path) as w:
+    for i in range(n):
+      img = np.full((24 + i, 20, 3), i * 20, np.uint8)
+      buf = io.BytesIO()
+      Image.fromarray(img).save(buf, "JPEG", quality=95)
+      w.write(nl.build_example({
+          "image/encoded": [buf.getvalue()],
+          "image/class/label": [i % 4],
+      }))
+
+  serial = list(nl.NativeClassificationLoader(
+      [path], batch_size=2, canvas_size=canvas, num_classes=4, repeat=False))
+  parallel = list(nl.NativeParallelClassificationLoader(
+      [path], batch_size=2, canvas_size=canvas, num_classes=4,
+      num_workers=3, prefetch_batches=2, repeat=False))
+
+  def example_set(batches, key):
+    out = []
+    for b in batches:
+      for row in np.asarray(b[key]):
+        out.append(row.tobytes())
+    return sorted(out)
+
+  assert sum(b["image"].shape[0] for b in parallel) == n
+  assert example_set(serial, "image") == example_set(parallel, "image")
+  assert example_set(serial, "label") == example_set(parallel, "label")
+  # content dims reported per example
+  hws = np.concatenate([b["content_hw"] for b in parallel])
+  assert (hws[:, 0] > 0).all() and (hws[:, 1] > 0).all()
+
+
+def test_native_parallel_pipeline_repeat_and_teardown(tmp_path):
+  """repeat=True streams past one epoch; destroying mid-stream neither
+  hangs nor leaks (teardown joins the reader + workers)."""
+  import io
+  from PIL import Image
+  from automl_tpu.data import native_loader as nl
+  path = str(tmp_path / "d.tfrecord")
+  with nl.TFRecordWriter(path) as w:
+    for i in range(3):
+      buf = io.BytesIO()
+      Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(buf, "JPEG")
+      w.write(nl.build_example({"image/encoded": [buf.getvalue()],
+                                "image/class/label": [i]}))
+  it = iter(nl.NativeParallelClassificationLoader(
+      [path], batch_size=4, canvas_size=16, num_classes=3,
+      num_workers=2, repeat=True))
+  for _ in range(5):  # > one epoch (3 examples, batch 4)
+    b = next(it)
+    assert b["image"].shape == (4, 16, 16, 3)
+  it.close()  # generator close -> pipeline_destroy via finally

@@ -26,6 +26,11 @@ def parse_args(argv=None):
                  help="0 -> num_epochs * num_examples_per_epoch / batch_size")
   p.add_argument("--num_examples_per_epoch", type=int, default=120000)
   p.add_argument("--eval_samples", type=int, default=5000)
+  p.add_argument("--native_loader", action="store_true",
+                 help="use the framework's own C++ parallel input pipeline "
+                      "(TFRecord reader thread + JPEG worker pool + "
+                      "prefetch ring; gt parsing in C++) instead of tf.data")
+  p.add_argument("--native_workers", type=int, default=4)
   p.add_argument("--eval_every", type=int, default=0,
                  help="steps between in-training evals (train_and_eval)")
   p.add_argument("--eval_timeout", type=float, default=0,
@@ -161,6 +166,15 @@ def main(argv=None):
 
   def make_train_iter():
     if args.train_file_pattern and not args.use_fake_data:
+      if args.native_loader:
+        import glob as glob_lib
+        from automl_tpu.data import native_loader as nl
+        files = sorted(glob_lib.glob(args.train_file_pattern))
+        return iter(nl.NativeParallelDetectionLoader(
+            files[proc_id::n_proc] or files, local_batch, size[0],
+            max_instances=config.max_instances_per_image,
+            skip_crowd=config.skip_crowd_during_training,
+            num_workers=args.native_workers))
       return iter(pipeline.DetectionTFRecordLoader(
           args.train_file_pattern, is_training=True, batch_size=local_batch,
           canvas_size=size[0],

@@ -59,6 +59,16 @@ def _load():
     lib.pipeline_next_batch.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
+    lib.det_pipeline_create.restype = ctypes.c_void_p
+    lib.det_pipeline_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
+    lib.det_pipeline_next_batch.restype = ctypes.c_int
+    lib.det_pipeline_next_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float)]
     lib.pipeline_dropped.restype = ctypes.c_int64
     lib.pipeline_dropped.argtypes = [ctypes.c_void_p]
     lib.pipeline_destroy.argtypes = [ctypes.c_void_p]
@@ -284,6 +294,61 @@ class NativeParallelClassificationLoader:
         onehot[np.arange(got)[valid], labels[:got][valid]] = 1.0
         yield {"image": images[:got], "label": onehot,
                "content_hw": hw[:got]}
+        if got < b:
+          return
+    finally:
+      lib.pipeline_destroy(handle)
+
+
+class NativeParallelDetectionLoader:
+  """Fully-native parallel DETECTION pipeline: the C++ reader/worker pool
+  also parses gt boxes/classes/is_crowd from the tf.Example wire format,
+  converts normalized boxes to canvas coordinates, crowd-filters (train)
+  and pads to max_instances — Python receives ready train/eval batches in
+  the standard detection schema ({image, true_hw, gt_boxes, gt_classes,
+  source_id})."""
+
+  def __init__(self, files: list[str], batch_size: int, canvas_size: int,
+               max_instances: int = 100, skip_crowd: bool = True,
+               num_workers: int = 4, prefetch_batches: int = 4,
+               repeat: bool = True):
+    self.files = [f.encode() for f in files]
+    self.batch_size = batch_size
+    self.canvas = canvas_size
+    self.max_instances = max_instances
+    self.skip_crowd = skip_crowd
+    self.num_workers = num_workers
+    self.prefetch_batches = prefetch_batches
+    self.repeat = repeat
+
+  def __iter__(self):
+    lib = _load()
+    arr = (ctypes.c_char_p * len(self.files))(*self.files)
+    handle = lib.det_pipeline_create(
+        arr, len(self.files), self.batch_size, self.canvas,
+        self.max_instances, int(self.skip_crowd), self.num_workers,
+        self.prefetch_batches, int(self.repeat))
+    if not handle:
+      raise RuntimeError("det_pipeline_create failed")
+    b, s, g = self.batch_size, self.canvas, self.max_instances
+    f32p = ctypes.POINTER(ctypes.c_float)
+    try:
+      while True:
+        images = np.empty((b, s, s, 3), np.uint8)
+        true_hw = np.empty((b, 2), np.float32)
+        boxes = np.empty((b, g, 4), np.float32)
+        classes = np.empty((b, g), np.int32)
+        source_id = np.empty((b,), np.float32)
+        got = lib.det_pipeline_next_batch(
+            handle, images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            true_hw.ctypes.data_as(f32p), boxes.ctypes.data_as(f32p),
+            classes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            source_id.ctypes.data_as(f32p))
+        if got == 0:
+          return
+        yield {"image": images[:got], "true_hw": true_hw[:got],
+               "gt_boxes": boxes[:got], "gt_classes": classes[:got],
+               "source_id": source_id[:got]}
         if got < b:
           return
     finally:

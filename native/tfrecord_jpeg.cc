@@ -295,6 +295,67 @@ static bool feature_bytes(Slice feature, Slice* out) {
   return find_field(blist, 1, out);  // first value
 }
 
+static bool feature_floats(Slice feature, std::vector<float>* out) {
+  Slice flist;
+  if (!find_field(feature, 2, &flist)) return false;
+  // FloatList values: field 1, wire 5 (repeated) or wire 2 (packed)
+  const uint8_t* p = flist.p;
+  const uint8_t* end = flist.p + flist.n;
+  while (p < end) {
+    uint64_t tag;
+    if (!read_varint_c(p, end, &tag)) return false;
+    if ((tag >> 3) != 1) return false;
+    if ((tag & 7) == 5) {
+      if (p + 4 > end) return false;
+      float v;
+      memcpy(&v, p, 4);
+      out->push_back(v);
+      p += 4;
+    } else if ((tag & 7) == 2) {
+      uint64_t len;
+      if (!read_varint_c(p, end, &len) || p + len > end) return false;
+      for (const uint8_t* q = p; q + 4 <= p + len; q += 4) {
+        float v;
+        memcpy(&v, q, 4);
+        out->push_back(v);
+      }
+      p += len;
+    } else {
+      return false;
+    }
+  }
+  return true;
+}
+
+static bool feature_int64s(Slice feature, std::vector<int64_t>* out) {
+  Slice ilist;
+  if (!find_field(feature, 3, &ilist)) return false;
+  const uint8_t* p = ilist.p;
+  const uint8_t* end = ilist.p + ilist.n;
+  while (p < end) {
+    uint64_t tag;
+    if (!read_varint_c(p, end, &tag)) return false;
+    if ((tag >> 3) != 1) return false;
+    if ((tag & 7) == 0) {
+      uint64_t v;
+      if (!read_varint_c(p, end, &v)) return false;
+      out->push_back((int64_t)v);
+    } else if ((tag & 7) == 2) {
+      uint64_t len;
+      if (!read_varint_c(p, end, &len) || p + len > end) return false;
+      const uint8_t* e2 = p + len;
+      while (p < e2) {
+        uint64_t v;
+        if (!read_varint_c(p, e2, &v)) return false;
+        out->push_back((int64_t)v);
+      }
+    } else {
+      return false;
+    }
+  }
+  return true;
+}
+
 static bool feature_int64(Slice feature, int64_t* out) {
   Slice ilist;
   if (!find_field(feature, 3, &ilist)) return false;
@@ -320,6 +381,10 @@ struct ExampleOut {
   std::vector<uint8_t> canvas;
   int64_t label;
   int content_h, content_w;
+  // detection mode
+  std::vector<float> boxes;      // [max_instances, 4] canvas coords
+  std::vector<int32_t> classes;  // [max_instances], -1 padded
+  float source_id;
 };
 
 struct Pipeline {
@@ -327,6 +392,9 @@ struct Pipeline {
   int batch, canvas_h, canvas_w;
   size_t prefetch_max;      // bound on decoded examples waiting
   bool repeat;
+  int mode = 0;             // 0 = classification, 1 = detection
+  int max_instances = 0;
+  bool skip_crowd = false;
 
   std::mutex mu;
   std::condition_variable cv_work, cv_ready;
@@ -401,6 +469,50 @@ static void worker_main(Pipeline* pl) {
       out.content_w = hw[1];
       out.label = label;
     }
+    if (ok && pl->mode == 1) {
+      // detection: normalized gt boxes -> canvas coords (content dims ==
+      // src dims * scale), crowd filter, truncate/pad to max_instances
+      std::vector<float> ymin, xmin, ymax, xmax;
+      std::vector<int64_t> labels, crowd;
+      Slice f;
+      if (example_lookup(ex, "image/object/bbox/ymin", &f))
+        feature_floats(f, &ymin);
+      if (example_lookup(ex, "image/object/bbox/xmin", &f))
+        feature_floats(f, &xmin);
+      if (example_lookup(ex, "image/object/bbox/ymax", &f))
+        feature_floats(f, &ymax);
+      if (example_lookup(ex, "image/object/bbox/xmax", &f))
+        feature_floats(f, &xmax);
+      if (example_lookup(ex, "image/object/class/label", &f))
+        feature_int64s(f, &labels);
+      if (example_lookup(ex, "image/object/is_crowd", &f))
+        feature_int64s(f, &crowd);
+      out.source_id = 0.0f;
+      if (example_lookup(ex, "image/source_id", &f)) {
+        Slice s;
+        if (feature_bytes(f, &s) && s.n > 0 && s.n < 32) {
+          char tmp[32];
+          memcpy(tmp, s.p, s.n);
+          tmp[s.n] = 0;
+          out.source_id = (float)atof(tmp);
+        }
+      }
+      int g = pl->max_instances;
+      out.boxes.assign((size_t)g * 4, 0.0f);
+      out.classes.assign(g, -1);
+      int n = 0;
+      size_t total = ymin.size();
+      for (size_t i = 0; i < total && n < g; i++) {
+        if (i >= xmin.size() || i >= ymax.size() || i >= xmax.size()) break;
+        if (pl->skip_crowd && i < crowd.size() && crowd[i]) continue;
+        out.boxes[(size_t)n * 4 + 0] = ymin[i] * out.content_h;
+        out.boxes[(size_t)n * 4 + 1] = xmin[i] * out.content_w;
+        out.boxes[(size_t)n * 4 + 2] = ymax[i] * out.content_h;
+        out.boxes[(size_t)n * 4 + 3] = xmax[i] * out.content_w;
+        out.classes[n] = i < labels.size() ? (int32_t)labels[i] : -1;
+        n++;
+      }
+    }
     std::lock_guard<std::mutex> lk(pl->mu);
     if (ok) {
       pl->ready.push_back(std::move(out));
@@ -415,9 +527,10 @@ static void worker_main(Pipeline* pl) {
 
 extern "C" {
 
-void* pipeline_create(const char** paths, int n_paths, int batch,
-                      int canvas_h, int canvas_w, int n_workers,
-                      int prefetch_batches, int repeat) {
+static Pipeline* create_impl(const char** paths, int n_paths, int batch,
+                             int canvas_h, int canvas_w, int n_workers,
+                             int prefetch_batches, int repeat, int mode,
+                             int max_instances, int skip_crowd) {
   auto* pl = new Pipeline();
   for (int i = 0; i < n_paths; i++) pl->files.emplace_back(paths[i]);
   pl->batch = batch;
@@ -425,11 +538,21 @@ void* pipeline_create(const char** paths, int n_paths, int batch,
   pl->canvas_w = canvas_w;
   pl->prefetch_max = (size_t)prefetch_batches * batch;
   pl->repeat = repeat != 0;
+  pl->mode = mode;                    // set BEFORE threads start (no race)
+  pl->max_instances = max_instances;
+  pl->skip_crowd = skip_crowd != 0;
   pl->reader = std::thread(reader_main, pl);
   if (n_workers < 1) n_workers = 1;
   for (int i = 0; i < n_workers; i++)
     pl->workers.emplace_back(worker_main, pl);
   return pl;
+}
+
+void* pipeline_create(const char** paths, int n_paths, int batch,
+                      int canvas_h, int canvas_w, int n_workers,
+                      int prefetch_batches, int repeat) {
+  return create_impl(paths, n_paths, batch, canvas_h, canvas_w, n_workers,
+                     prefetch_batches, repeat, /*mode=*/0, 0, 0);
 }
 
 // Fill images [batch, H, W, 3] u8, labels [batch] i64, content_hw
@@ -474,6 +597,60 @@ int pipeline_next_batch(void* handle, uint8_t* images, int64_t* labels,
     labels[got] = ex.label;
     content_hw[got * 2] = ex.content_h;
     content_hw[got * 2 + 1] = ex.content_w;
+    got++;
+  }
+  return got;
+}
+
+// Detection pipeline: images [B,H,W,3] u8, true_hw [B,2] f32 (content
+// dims), gt_boxes [B,G,4] f32 canvas coords, gt_classes [B,G] i32
+// (-1 padded), source_id [B] f32.
+void* det_pipeline_create(const char** paths, int n_paths, int batch,
+                          int canvas, int max_instances, int skip_crowd,
+                          int n_workers, int prefetch_batches, int repeat) {
+  return create_impl(paths, n_paths, batch, canvas, canvas, n_workers,
+                     prefetch_batches, repeat, /*mode=*/1, max_instances,
+                     skip_crowd);
+}
+
+int det_pipeline_next_batch(void* handle, uint8_t* images, float* true_hw,
+                            float* gt_boxes, int32_t* gt_classes,
+                            float* source_id) {
+  auto* pl = (Pipeline*)handle;
+  size_t canvas_bytes = (size_t)pl->canvas_h * pl->canvas_w * 3;
+  int g = pl->max_instances;
+  int got = 0;
+  while (got < pl->batch) {
+    ExampleOut ex;
+    {
+      std::unique_lock<std::mutex> lk(pl->mu);
+      pl->cv_ready.wait(lk, [&] {
+        if (pl->stop || !pl->ready.empty()) return true;
+        return pl->done_reading && pl->work.empty();
+      });
+      if (pl->stop) return got;
+      if (pl->ready.empty()) {
+        if (pl->done_reading && pl->work.empty()) {
+          if (!pl->cv_ready.wait_for(lk, std::chrono::milliseconds(50),
+                                     [&] { return !pl->ready.empty(); }))
+            return got;
+        } else {
+          continue;
+        }
+      }
+      ex = std::move(pl->ready.front());
+      pl->ready.pop_front();
+      pl->cv_work.notify_all();
+    }
+    memcpy(images + (size_t)got * canvas_bytes, ex.canvas.data(),
+           canvas_bytes);
+    true_hw[got * 2] = (float)ex.content_h;
+    true_hw[got * 2 + 1] = (float)ex.content_w;
+    memcpy(gt_boxes + (size_t)got * g * 4, ex.boxes.data(),
+           (size_t)g * 4 * sizeof(float));
+    memcpy(gt_classes + (size_t)got * g, ex.classes.data(),
+           (size_t)g * sizeof(int32_t));
+    source_id[got] = ex.source_id;
     got++;
   }
   return got;

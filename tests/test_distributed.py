@@ -51,6 +51,27 @@ assert abs(got - (1.0 + 2.0) * 4 * 4 * 4 * 3) < 1e-3, got
 state = replicate(mesh, {"w": np.arange(3.0, dtype=np.float32)})
 sw = float(jax.jit(lambda s: jnp.sum(s["w"]))(state))
 assert abs(sw - 3.0) < 1e-3, sw
+# multi-process EVAL (advisor r2 #5 fix): local eval rows -> global arrays
+# against replicated params; every process must compute the SAME global
+# metric (inputs assembled with build_global_array, labels allgathered,
+# predictions replicated via out_shardings)
+from automl_tpu import nn
+from automl_tpu.configs.effnet_configs import get_model_config
+from automl_tpu.models import build_model
+from automl_tpu.train import runners
+nn.set_policy("float32")
+cfg = get_model_config("efficientnetv2-test")
+model = build_model("efficientnetv2-test")
+params = jax.jit(model.init)(jax.random.key(0))
+params = replicate(mesh, params)
+rng = np.random.RandomState(100 + pid)  # DIFFERENT local rows per process
+batch = {"image": rng.randint(0, 255, (4, 36, 36, 3)).astype(np.uint8),
+         "label": np.eye(4, dtype=np.float32)[rng.randint(0, 4, 4)]}
+m = runners.evaluate_classification(model, params, cfg, iter([batch]), 1,
+                                    mesh=mesh)
+assert m["samples"] == 8.0, m  # global rows, not local
+print(f"proc {pid} EVAL top1={m['top1']:.4f} top5={m['top5']:.4f}")
+
 print(f"proc {pid} OK total={float(total)}")
 """
 
@@ -86,6 +107,13 @@ def test_two_process_global_array():
   for i, (p, out) in enumerate(zip(procs, outs)):
     assert p.returncode == 0, f"proc {i} failed:\n{out}"
     assert f"proc {i} OK" in out, out
+  # both processes computed the SAME global eval metric from different
+  # local rows
+  evals = []
+  for out in outs:
+    (line,) = [l for l in out.splitlines() if "EVAL" in l]
+    evals.append(line.split("EVAL")[1])
+  assert evals[0] == evals[1], evals
 
 
 def test_local_slice_single_process():

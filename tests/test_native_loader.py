@@ -189,3 +189,50 @@ def test_native_parallel_pipeline_repeat_and_teardown(tmp_path):
     b = next(it)
     assert b["image"].shape == (4, 16, 16, 3)
   it.close()  # generator close -> pipeline_destroy via finally
+
+
+def test_native_parallel_detection_pipeline(tmp_path):
+  """Detection mode: gt boxes parsed from the wire format in C++, scaled
+  to canvas coords, crowd-filtered, padded to max_instances — compared
+  against hand-computed expectations (and the tf.data loader's schema)."""
+  import io
+  from PIL import Image
+  from automl_tpu.data import native_loader as nl
+
+  canvas, g = 64, 5
+  path = str(tmp_path / "det.tfrecord")
+  # image 40x80 -> scale 64/80 = 0.8 -> content (32, 64)
+  with nl.TFRecordWriter(path) as w:
+    img = np.zeros((40, 80, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG")
+    w.write(nl.build_example({
+        "image/encoded": [buf.getvalue()],
+        "image/source_id": [b"1234"],
+        "image/object/bbox/ymin": [0.0, 0.25, 0.5],
+        "image/object/bbox/xmin": [0.0, 0.25, 0.5],
+        "image/object/bbox/ymax": [0.5, 0.75, 1.0],
+        "image/object/bbox/xmax": [0.5, 0.75, 1.0],
+        "image/object/class/label": [3, 7, 9],
+        "image/object/is_crowd": [0, 1, 0],  # middle box is crowd
+    }))
+
+  batches = list(nl.NativeParallelDetectionLoader(
+      [path], batch_size=1, canvas_size=canvas, max_instances=g,
+      skip_crowd=True, num_workers=2, repeat=False))
+  assert len(batches) == 1
+  b = batches[0]
+  assert b["image"].shape == (1, canvas, canvas, 3)
+  np.testing.assert_allclose(b["true_hw"][0], [32.0, 64.0])
+  assert float(b["source_id"][0]) == 1234.0
+  # crowd box dropped; boxes in canvas coords: norm * content dims
+  np.testing.assert_allclose(
+      b["gt_boxes"][0][:2],
+      [[0.0, 0.0, 16.0, 32.0], [16.0, 32.0, 32.0, 64.0]], atol=1e-4)
+  np.testing.assert_array_equal(b["gt_classes"][0], [3, 9, -1, -1, -1])
+
+  # skip_crowd=False keeps all three
+  (b2,) = list(nl.NativeParallelDetectionLoader(
+      [path], batch_size=1, canvas_size=canvas, max_instances=g,
+      skip_crowd=False, num_workers=1, repeat=False))
+  np.testing.assert_array_equal(b2["gt_classes"][0], [3, 7, 9, -1, -1])

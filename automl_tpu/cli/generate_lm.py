@@ -27,6 +27,9 @@ def parse_args(argv=None):
                  help="0 = greedy")
   p.add_argument("--top_k", type=int, default=0)
   p.add_argument("--top_p", type=float, default=0.0)
+  p.add_argument("--stop_at_eos", action="store_true",
+                 help="exit decode as soon as every row emitted EOS "
+                      "(hero continue_decode stop semantics)")
   p.add_argument("--tokenizer", default="byte",
                  help="'byte' or a SentencePiece .model path (must match "
                       "training)")
@@ -77,6 +80,7 @@ def main(argv=None):
   import numpy as np
   from automl_tpu.data.lm_pipeline import ByteTokenizer, SentencePieceModel
   from automl_tpu.models.lm import greedy_generate
+  from automl_tpu.data import lm_pipeline
 
   config, model, params = load_model(args.model_dir, args.step, args.int8)
   tok = (ByteTokenizer() if args.tokenizer == "byte"
@@ -90,7 +94,8 @@ def main(argv=None):
     out = greedy_generate(
         model, params, jnp.asarray(ids), args.max_new_tokens,
         rng=jax.random.key(args.seed + i), temperature=args.temperature,
-        top_k=args.top_k, top_p=args.top_p)
+        top_k=args.top_k, top_p=args.top_p,
+        eos_id=(lm_pipeline.EOS_ID if args.stop_at_eos else None))
     new_ids = np.asarray(out)[0, ids.shape[1]:]
     completion = tok.decode([int(t) for t in new_ids])
     outputs.append(completion)

@@ -975,10 +975,17 @@ def sample_logits(rng, logits, temperature=1.0, top_k: int = 0,
 
 def greedy_generate(model: TransformerLM, params, prompt_tokens,
                     max_new_tokens: int, rng=None, temperature: float = 0.0,
-                    top_k: int = 0, top_p: float = 0.0):
+                    top_k: int = 0, top_p: float = 0.0,
+                    eos_id: Optional[int] = None):
   """Prefill then lax.while-style decode with in-place KV cache.
 
   prompt_tokens: [B, T_prompt]. Returns [B, T_prompt + max_new_tokens].
+
+  eos_id: optional end-of-sequence token — decoding runs as a
+  lax.while_loop that exits as soon as EVERY row has emitted eos_id
+  (hero sample_decode/continue_decode semantics,
+  ref: hero/model_lib.py:2268-2394); finished rows emit pad (0) for the
+  remaining positions. Without eos_id the loop is a fixed fori_loop.
   """
   b, t0 = prompt_tokens.shape
   total = t0 + max_new_tokens
@@ -996,19 +1003,39 @@ def greedy_generate(model: TransformerLM, params, prompt_tokens,
   tokens = tokens.at[:, t0].set(next_tok)
 
   kv_pos = jnp.broadcast_to(jnp.arange(total)[None], (b, total))
+  done0 = (jnp.full((b,), False) if eos_id is None
+           else next_tok == eos_id)
 
-  def body(i, state):
-    tokens, cache, rng = state
+  def step(i, tokens, cache, rng, done):
     rng, sub = jax.random.split(rng)
     cur = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))
     pos = jnp.full((b, 1), i, jnp.int32)
     logits, cache = model(params, cur, positions=pos, cache=cache,
                           cache_index=i, kv_positions=kv_pos)
     nxt = sample_logits(sub, logits[:, 0], temperature, top_k, top_p)
+    if eos_id is not None:
+      nxt = jnp.where(done, 0, nxt)          # finished rows emit pad
+      done = done | (nxt == eos_id)
     tokens = jax.lax.dynamic_update_slice(
         tokens, nxt[:, None].astype(jnp.int32), (0, i + 1))
-    return tokens, cache, rng
+    return tokens, cache, rng, done
 
-  tokens, cache, _ = jax.lax.fori_loop(t0, total - 1, body,
-                                       (tokens, cache, rng))
+  if eos_id is None:
+    def body(i, state):
+      tokens, cache, rng, done = state
+      return step(i, tokens, cache, rng, done)
+    tokens, cache, _, _ = jax.lax.fori_loop(t0, total - 1, body,
+                                            (tokens, cache, rng, done0))
+  else:
+    def cond(state):
+      i, _, _, _, done = state
+      return (i < total - 1) & ~jnp.all(done)
+
+    def body(state):
+      i, tokens, cache, rng, done = state
+      tokens, cache, rng, done = step(i, tokens, cache, rng, done)
+      return i + 1, tokens, cache, rng, done
+
+    _, tokens, cache, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(t0), tokens, cache, rng, done0))
   return tokens

@@ -864,3 +864,30 @@ def test_prefix_lm_logits_depend_on_future_prefix_only():
   np.testing.assert_allclose(np.asarray(plain(base)[0, 1]),
                              np.asarray(plain(changed_prefix)[0, 1]),
                              atol=1e-6)
+
+
+def test_greedy_generate_eos_early_stop():
+  """eos_id decoding: the while_loop exits when every row emitted EOS, and
+  finished rows pad with 0 afterwards — hero's sample_decode/continue_decode
+  stop semantics (model_lib.py:2268-2394). Output must also agree with the
+  fixed-length fori path up to each row's EOS."""
+  cfg = tiny_cfg(use_remat=False, use_scan=False)
+  model = lm_lib.TransformerLM(cfg)
+  params = model.init(jax.random.key(0))
+  prompts = jax.random.randint(jax.random.key(1), (2, 4), 3, 64)
+  fixed = lm_lib.greedy_generate(model, params, prompts, max_new_tokens=8)
+  # pick the token this model actually generates at step t0+2 as "EOS"
+  eos = int(fixed[0, 4 + 2])
+  stopped = lm_lib.greedy_generate(model, params, prompts, max_new_tokens=8,
+                                   eos_id=eos)
+  got = np.asarray(stopped)
+  want = np.asarray(fixed)
+  for r in range(2):
+    row = want[r, 4:]
+    hits = np.nonzero(row == eos)[0]
+    if len(hits) == 0:
+      np.testing.assert_array_equal(got[r], want[r])
+    else:
+      cut = 4 + hits[0] + 1
+      np.testing.assert_array_equal(got[r, :cut], want[r, :cut])
+      assert (got[r, cut:] == 0).all(), got[r]

@@ -137,6 +137,9 @@ class PrefixLMLoader:
   def __iter__(self):
     def examples():
       mine = self.pairs[self.shard_index::self.num_shards]
+      if not mine:
+        raise ValueError("PrefixLMLoader: no (input, target) pairs for "
+                         f"shard {self.shard_index}/{self.num_shards}")
       epoch = itertools.cycle(mine) if self.repeat else iter(mine)
       for inp, tgt in epoch:
         yield (self.tokenizer.encode(inp), self.tokenizer.encode(tgt))

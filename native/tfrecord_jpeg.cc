@@ -402,6 +402,7 @@ struct Pipeline {
   std::deque<ExampleOut> ready;
   bool done_reading = false;
   bool stop = false;
+  int in_flight = 0;        // records popped by workers, not yet in ready
   int64_t dropped = 0;      // corrupt/undecodable examples (counted, skipped)
 
   std::thread reader;
@@ -449,6 +450,7 @@ static void worker_main(Pipeline* pl) {
       }
       rec = std::move(pl->work.front());
       pl->work.pop_front();
+      pl->in_flight++;
       pl->cv_work.notify_all();
     }
     Slice ex{rec.data(), rec.size()};
@@ -514,6 +516,7 @@ static void worker_main(Pipeline* pl) {
       }
     }
     std::lock_guard<std::mutex> lk(pl->mu);
+    pl->in_flight--;
     if (ok) {
       pl->ready.push_back(std::move(out));
     } else {
@@ -567,27 +570,14 @@ int pipeline_next_batch(void* handle, uint8_t* images, int64_t* labels,
     ExampleOut ex;
     {
       std::unique_lock<std::mutex> lk(pl->mu);
+      // exhausted only when the reader finished AND no record is queued
+      // or mid-decode — exact accounting, no grace-period heuristics
       pl->cv_ready.wait(lk, [&] {
-        if (pl->stop || !pl->ready.empty()) return true;
-        // exhausted: reader finished, no work queued, workers idle
-        return pl->done_reading && pl->work.empty();
+        return pl->stop || !pl->ready.empty() ||
+               (pl->done_reading && pl->work.empty() && pl->in_flight == 0);
       });
       if (pl->stop) return got;
-      if (pl->ready.empty()) {
-        // workers may still be decoding in-flight records; only conclude
-        // exhaustion when nothing can arrive anymore
-        if (pl->done_reading && pl->work.empty()) {
-          // wait a moment for in-flight decodes
-          if (pl->cv_ready.wait_for(lk, std::chrono::milliseconds(50),
-                                    [&] { return !pl->ready.empty(); })) {
-            // fallthrough to pop below
-          } else {
-            return got;
-          }
-        } else {
-          continue;
-        }
-      }
+      if (pl->ready.empty()) return got;
       ex = std::move(pl->ready.front());
       pl->ready.pop_front();
       pl->cv_work.notify_all();
@@ -625,19 +615,11 @@ int det_pipeline_next_batch(void* handle, uint8_t* images, float* true_hw,
     {
       std::unique_lock<std::mutex> lk(pl->mu);
       pl->cv_ready.wait(lk, [&] {
-        if (pl->stop || !pl->ready.empty()) return true;
-        return pl->done_reading && pl->work.empty();
+        return pl->stop || !pl->ready.empty() ||
+               (pl->done_reading && pl->work.empty() && pl->in_flight == 0);
       });
       if (pl->stop) return got;
-      if (pl->ready.empty()) {
-        if (pl->done_reading && pl->work.empty()) {
-          if (!pl->cv_ready.wait_for(lk, std::chrono::milliseconds(50),
-                                     [&] { return !pl->ready.empty(); }))
-            return got;
-        } else {
-          continue;
-        }
-      }
+      if (pl->ready.empty()) return got;
       ex = std::move(pl->ready.front());
       pl->ready.pop_front();
       pl->cv_work.notify_all();

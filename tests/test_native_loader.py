@@ -236,3 +236,28 @@ def test_native_parallel_detection_pipeline(tmp_path):
       [path], batch_size=1, canvas_size=canvas, max_instances=g,
       skip_crowd=False, num_workers=1, repeat=False))
   np.testing.assert_array_equal(b2["gt_classes"][0], [3, 7, 9, -1, -1])
+
+
+def test_native_parallel_pipeline_partial_tail_batch(tmp_path):
+  """n not divisible by batch: the final partial batch arrives complete —
+  exhaustion is declared only when reader is done AND no record is queued
+  or mid-decode (exact in_flight accounting, no grace-period heuristics)."""
+  import io
+  from PIL import Image
+  from automl_tpu.data import native_loader as nl
+  path = str(tmp_path / "t.tfrecord")
+  n = 11
+  with nl.TFRecordWriter(path) as w:
+    for i in range(n):
+      buf = io.BytesIO()
+      # larger images -> slower decode, stressing the tail race
+      Image.fromarray(np.full((200, 300, 3), i, np.uint8)).save(buf, "JPEG")
+      w.write(nl.build_example({"image/encoded": [buf.getvalue()],
+                                "image/class/label": [i % 4]}))
+  for workers in (1, 4):
+    batches = list(nl.NativeParallelClassificationLoader(
+        [path], batch_size=4, canvas_size=32, num_classes=4,
+        num_workers=workers, repeat=False))
+    counts = [b["image"].shape[0] for b in batches]
+    assert sum(counts) == n, (workers, counts)
+    assert counts[-1] == n % 4, (workers, counts)

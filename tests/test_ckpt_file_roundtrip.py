@@ -118,3 +118,94 @@ def test_published_ckpt_file_image_to_detections_golden(tmp_path):
                              atol=0.1)
   # scores actually spread (non-degenerate golden)
   assert dets["scores"][0][0] - dets["scores"][0][n - 1] > 1e-3
+
+
+def test_cls_ckpt_file_image_to_top5_golden(tmp_path):
+  """Classification analog: TF1-style checkpoint FILE restored through the
+  reference's own utils.restore_tf2_ckpt AND our convert_effnet_checkpoint,
+  then the full eval path (reference-exact crop/resize geometry) on the
+  real testdata image must produce the same logits / top-5.
+
+  Inverse EMA game to the detection test: restore_tf2_ckpt's TF1 path
+  reads RAW variable names (efficientnetv2/utils.py:558-575), so the file
+  carries true values raw and JUNK in the EMA shadows — a side that
+  wrongly prefers EMA fails loudly (our side must use use_ema=False)."""
+  import tensorflow as tf
+  from PIL import Image
+  from automl_tpu.ckpt import tf_compat
+  tf_compat.reference_model_shim()
+  effnetv2_model = tf_compat.import_reference_module(
+      "efficientnetv2", "effnetv2_model")
+  ref_utils = tf_compat.import_reference_module("efficientnetv2", "utils")
+  ref_pre = tf_compat.import_reference_module("efficientnetv2",
+                                              "preprocessing")
+  import tf_keras
+  tf_keras.backend.clear_session()
+
+  isize = 224
+  img = np.asarray(Image.open(IMG).convert("RGB"))
+  ref = effnetv2_model.EffNetV2Model("efficientnetv2-b0")
+  _ = ref(tf.zeros((1, isize, isize, 3)), training=False)  # build
+
+  # BN-calibrate on the test image so logits are content-dependent
+  pre = ref_pre.preprocess_image(tf.constant(img), isize, is_training=False)
+  for layer in ref.submodules:
+    if hasattr(layer, "moving_mean") and hasattr(layer, "momentum"):
+      layer.momentum = 0.0
+  _ = ref(pre[None], training=True)
+
+  true_w = {v.name[:-2]: v.numpy() for v in ref.weights}
+  rng = np.random.RandomState(0)
+  for v in ref.weights:  # perturb: only a successful restore can fix it
+    v.assign(v.numpy() + rng.normal(0, 0.05,
+                                    v.shape).astype(v.dtype.as_numpy_dtype))
+
+  # TF1-style file: RAW = true values, EMA shadows = junk
+  prefix = str(tmp_path / "model.ckpt")
+  g = tf.Graph()
+  with g.as_default():
+    for name, val in true_w.items():
+      tf.Variable(val, name=name)
+      junk = (val + rng.normal(0, 0.5, val.shape)).astype(val.dtype)
+      tf.Variable(junk, name=name + "/ExponentialMovingAverage")
+    saver = tf.compat.v1.train.Saver()
+    with tf.compat.v1.Session(graph=g) as sess:
+      sess.run(tf.compat.v1.global_variables_initializer())
+      saver.save(sess, prefix)
+
+  ref_utils.restore_tf2_ckpt(ref, prefix, skip_mismatch=False)
+  back = {v.name[:-2]: v.numpy() for v in ref.weights}
+  assert max(np.max(np.abs(back[k] - true_w[k])) for k in true_w) == 0.0
+  ref_logits = ref(pre[None], training=False).numpy()
+
+  # ours: loader eval geometry (uint8 canvas) + device normalize + model
+  import jax.numpy as jnp
+  from automl_tpu import nn
+  from automl_tpu.data import preprocessing as our_pre
+  from automl_tpu.models import build_model
+  nn.set_policy("float32")
+  try:
+    model = build_model("efficientnetv2-b0")
+    params = tf_compat.convert_effnet_checkpoint(prefix, model,
+                                                 use_ema=False)
+    h, w = img.shape[:2]
+    ratio = isize / (isize + 32)
+    crop = int(ratio * min(h, w))
+    y, x = (h - crop) // 2, (w - crop) // 2
+    t = tf.image.crop_to_bounding_box(tf.constant(img), y, x, crop, crop)
+    hosted = tf.cast(tf.round(tf.image.resize(t, (isize, isize),
+                                              method="bilinear")),
+                     tf.uint8).numpy()
+    x_in = our_pre.cls_eval_preprocess(jnp.asarray(hosted[None]), isize,
+                                       precropped=True)
+    ours = np.asarray(model(params, x_in, train=False))
+  finally:
+    nn.set_policy("mixed_bfloat16")
+
+  assert ours.shape == ref_logits.shape
+  # top-5 as a SET: our host path rounds the canvas to uint8 (the
+  # reference feeds unrounded floats), which can swap near-tied ranks
+  assert (set(np.argsort(-ours[0])[:5].tolist())
+          == set(np.argsort(-ref_logits[0])[:5].tolist()))
+  assert int(np.argmax(ours[0])) in np.argsort(-ref_logits[0])[:2]
+  np.testing.assert_allclose(ours, ref_logits, atol=0.05)

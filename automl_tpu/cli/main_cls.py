@@ -53,6 +53,18 @@ def parse_args(argv=None):
   return p.parse_args(argv)
 
 
+def _shard_files(files, proc_id, n_proc):
+  """Per-process file shard; ERROR on an empty shard rather than silently
+  streaming the whole set (which would duplicate data across processes)."""
+  mine = files[proc_id::n_proc]
+  if not mine:
+    raise ValueError(
+        f"process {proc_id}/{n_proc} got no input files from {len(files)} "
+        "matches — --native_loader shards by FILE; use at least one file "
+        "per process (or the tf.data loader, which shards records)")
+  return mine
+
+
 def main(argv=None):
   args = parse_args(argv)
   # must run before any jax backend use (multi-process runs only)
@@ -104,7 +116,7 @@ def main(argv=None):
       from automl_tpu.data import native_loader as nl
       files = sorted(glob_lib.glob(args.train_file_pattern))
       data_iter = iter(nl.NativeParallelClassificationLoader(
-          files[proc_id::n_proc] or files, local_batch, canvas,
+          _shard_files(files, proc_id, n_proc), local_batch, canvas,
           config.data.num_classes, num_workers=args.native_workers))
     else:
       data_iter = iter(pipeline.ImageNetTFRecordLoader(

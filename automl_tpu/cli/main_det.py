@@ -130,6 +130,18 @@ def _run_epochs_in_children(args):
   return {"train_steps": float(train_steps)}
 
 
+def _shard_files(files, proc_id, n_proc):
+  """Per-process file shard; ERROR on an empty shard rather than silently
+  streaming the whole set (which would duplicate data across processes)."""
+  mine = files[proc_id::n_proc]
+  if not mine:
+    raise ValueError(
+        f"process {proc_id}/{n_proc} got no input files from {len(files)} "
+        "matches — --native_loader shards by FILE; use at least one file "
+        "per process (or the tf.data loader, which shards records)")
+  return mine
+
+
 def main(argv=None):
   args = parse_args(argv)
   if args.run_epoch_in_child_process:
@@ -171,7 +183,7 @@ def main(argv=None):
         from automl_tpu.data import native_loader as nl
         files = sorted(glob_lib.glob(args.train_file_pattern))
         return iter(nl.NativeParallelDetectionLoader(
-            files[proc_id::n_proc] or files, local_batch, size[0],
+            _shard_files(files, proc_id, n_proc), local_batch, size[0],
             max_instances=config.max_instances_per_image,
             skip_crowd=config.skip_crowd_during_training,
             num_workers=args.native_workers))

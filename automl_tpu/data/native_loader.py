@@ -51,6 +51,8 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int)]
+    lib.jpeg_decode_stretch.restype = ctypes.c_int
+    lib.jpeg_decode_stretch.argtypes = lib.jpeg_decode_resize.argtypes
     lib.pipeline_create.restype = ctypes.c_void_p
     lib.pipeline_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
@@ -110,15 +112,22 @@ class TFRecordFile:
       pass
 
 
-def jpeg_decode_to_canvas(data: bytes, out_h: int, out_w: int):
-  """-> (canvas uint8 [out_h, out_w, 3], (content_h, content_w))."""
+def jpeg_decode_to_canvas(data: bytes, out_h: int, out_w: int,
+                          stretch: bool = False):
+  """-> (canvas uint8 [out_h, out_w, 3], (content_h, content_w)).
+
+  stretch=False: aspect-preserving, content top-left, zero pad (detection
+  canvas contract). stretch=True: fill the whole canvas with independent
+  H/W scales (classification train contract — matches the tf.data
+  branch's plain resize)."""
   lib = _load()
   out = np.zeros((out_h, out_w, 3), np.uint8)
   hw = (ctypes.c_int * 2)()
   buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
-  rc = lib.jpeg_decode_resize(
-      buf, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-      out_h, out_w, hw)
+  fn = lib.jpeg_decode_stretch if stretch else lib.jpeg_decode_resize
+  rc = fn(buf, len(data),
+          out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+          out_h, out_w, hw)
   if rc != 0:
     raise ValueError("JPEG decode failed")
   return out, (hw[0], hw[1])
@@ -234,7 +243,8 @@ class NativeClassificationLoader:
           label = int(ex.get("image/class/label", [-1])[0])
           if jpeg is None:
             continue
-          canvas, _ = jpeg_decode_to_canvas(jpeg, self.canvas, self.canvas)
+          canvas, _ = jpeg_decode_to_canvas(jpeg, self.canvas, self.canvas,
+                                            stretch=True)
           images.append(canvas)
           onehot = np.zeros((self.num_classes,), np.float32)
           if 0 <= label < self.num_classes:
@@ -270,6 +280,8 @@ class NativeParallelClassificationLoader:
     self.repeat = repeat
 
   def __iter__(self):
+    if not self.files:
+      raise ValueError("NativeParallelClassificationLoader: empty file list")
     lib = _load()
     arr = (ctypes.c_char_p * len(self.files))(*self.files)
     handle = lib.pipeline_create(arr, len(self.files), self.batch_size,
@@ -322,6 +334,8 @@ class NativeParallelDetectionLoader:
     self.repeat = repeat
 
   def __iter__(self):
+    if not self.files:
+      raise ValueError("NativeParallelDetectionLoader: empty file list")
     lib = _load()
     arr = (ctypes.c_char_p * len(self.files))(*self.files)
     handle = lib.det_pipeline_create(

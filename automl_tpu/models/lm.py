@@ -245,8 +245,11 @@ def causal_mask(q_positions, k_positions, window_size: Optional[int] = None,
   prefix_q/prefix_k: optional [..., T] {0,1} prefix-LM markers (seqio's
   decoder_causal_attention, ref: hero/data_lib.py:185-190): positions
   marked 1 attend each other BIDIRECTIONALLY (T5-style attend(i,j) =
-  causal(i,j) OR (prefix_i AND prefix_j)); the window and segment
-  constraints still apply on top."""
+  causal(i,j) OR (prefix_i AND prefix_j)). The segment constraint applies
+  on top of everything; the sliding WINDOW bounds only the causal term —
+  prefix pairs attend regardless of distance (a window shorter than the
+  prefix must not sever the bidirectional context the prefix exists to
+  provide)."""
   causal = q_positions[..., :, None] >= k_positions[..., None, :]
   if window_size is not None:
     causal &= (q_positions[..., :, None] - k_positions[..., None, :]) < window_size
@@ -342,7 +345,13 @@ class Attention(Module):
       new_cache = {"k": k, "v": v}
     else:
       new_cache = {"k": k, "v": v}
-      if cfg.get("use_window_chunk") and cfg.get("window_chunk_size"):
+      # An explicit mask (e.g. prefix-LM bidirectional markers) must win
+      # over the fused kernels, which only know causal+window+segment:
+      # TransformerLM passes mask=None exactly when a fused path should
+      # handle masking itself (uses_fused_mask).
+      use_fused = mask is None
+      if use_fused and cfg.get("use_window_chunk") \
+          and cfg.get("window_chunk_size"):
         # blockwise 2-chunk local attention (train/prefill full-sequence path)
         kk, vv = k, v
         if self.n_kv != self.n_heads:
@@ -355,7 +364,7 @@ class Attention(Module):
                                  segment_ids=segment_ids)
         out = jnp.einsum("bqnh,dnh->bqd", out.astype(adt), wo)
         return _constrain(out, sh.activation), new_cache
-      if cfg.get("use_ring_attention"):
+      if use_fused and cfg.get("use_ring_attention"):
         # sequence-parallel ring attention over the mesh 'model' axis
         # (context parallelism — not present in the reference)
         if _mesh_axis_active("model"):
@@ -374,7 +383,7 @@ class Attention(Module):
           out = jnp.einsum("bqnh,dnh->bqd", out.astype(adt), wo)
           return _constrain(out, sh.activation), new_cache
         # no mesh / model axis of 1: fall through to the dense path
-      if cfg.get("use_flash_attention"):
+      if use_fused and cfg.get("use_flash_attention"):
         # Pallas flash kernel: full-sequence causal(+window) path
         # (training / prefill-without-cache; decode keeps the einsum path).
         from automl_tpu.ops.attention import flash_attention

@@ -116,6 +116,10 @@ _ENABLED = False
 
 
 def enable_pallas_filter_grad(on: bool = True) -> None:
+  """CAVEAT — trace-time state (same as nn/quant.py QAT): the flag is read
+  while a function is traced and is not part of any jit cache key. Set it
+  BEFORE the first call of any jitted step whose behavior should depend on
+  it; toggling afterwards silently keeps the compiled behavior."""
   global _ENABLED
   _ENABLED = bool(on)
 

@@ -32,6 +32,11 @@ from automl_tpu.train import checkpoint as ckpt_lib
 from automl_tpu.train.checkpoint import CheckpointManager, archive_ckpt
 
 
+# jitted eval predict fns, keyed by (model, ...): entries live as long as
+# the model object — one per run, reused across its periodic evals
+_EVAL_PREDICT_CACHE: dict = {}
+
+
 def resolve_train_size(config) -> int:
   """train.isize <= 16 is a FRACTION of eval.isize (ref: main.py:325-328)."""
   esize = config.eval.isize or config.train.isize
@@ -242,12 +247,19 @@ def evaluate_classification(model, params, config, eval_iter, eval_steps: int,
                                           norm=norm)
     return model(params, x, train=False)
 
-  if multiproc:
-    from jax.sharding import NamedSharding, PartitionSpec
-    predict = jax.jit(_predict,
-                      out_shardings=NamedSharding(mesh, PartitionSpec()))
-  else:
-    predict = jax.jit(_predict)
+  # cache the jitted predict across eval passes: in-training evals run
+  # every stage/interval and a fresh jax.jit would retrace + recompile the
+  # full forward each time (minutes on this host, CLAUDE.md)
+  key = (model, isize, norm, multiproc, mesh)
+  predict = _EVAL_PREDICT_CACHE.get(key)
+  if predict is None:
+    if multiproc:
+      from jax.sharding import NamedSharding, PartitionSpec
+      predict = jax.jit(_predict,
+                        out_shardings=NamedSharding(mesh, PartitionSpec()))
+    else:
+      predict = jax.jit(_predict)
+    _EVAL_PREDICT_CACHE[key] = predict
 
   if multiclass:
     from automl_tpu.data.datasets import multihot_on_device
@@ -255,7 +267,10 @@ def evaluate_classification(model, params, config, eval_iter, eval_steps: int,
     ev = MultiLabelEvaluator()
   top1 = top5 = total = 0
   for _ in range(eval_steps):
-    batch = next(eval_iter)
+    try:
+      batch = next(eval_iter)
+    except StopIteration:
+      break  # finite validation set smaller than eval_samples: partial pass
     images = jnp.asarray(batch["image"])
     if multiclass:
       labels = np.asarray(multihot_on_device(jnp.asarray(batch["label_ids"]),
@@ -473,19 +488,28 @@ def evaluate_detection(model, params, config, eval_iter, eval_steps: int,
     return postprocess.generate_detections(config, cls_out, box_out,
                                            scales, ids)
 
-  if multiproc:
-    from jax.sharding import NamedSharding, PartitionSpec
-    # replicate outputs: small [B, max_det, 7] arrays every host can read
-    predict = jax.jit(_predict,
-                      out_shardings=NamedSharding(mesh, PartitionSpec()))
-  else:
-    predict = jax.jit(_predict)
+  # cache the jitted predict across in-training evals (see
+  # evaluate_classification): per-epoch COCO evals must not recompile
+  key = (model, id(config), multiproc, mesh)
+  predict = _EVAL_PREDICT_CACHE.get(key)
+  if predict is None:
+    if multiproc:
+      from jax.sharding import NamedSharding, PartitionSpec
+      # replicate outputs: small [B, max_det, 7] arrays every host can read
+      predict = jax.jit(_predict,
+                        out_shardings=NamedSharding(mesh, PartitionSpec()))
+    else:
+      predict = jax.jit(_predict)
+    _EVAL_PREDICT_CACHE[key] = predict
 
   evaluator = COCOEvaluator(per_class=per_class, label_map=None)
   mean = jnp.asarray(config.mean_rgb, jnp.float32)
   std = jnp.asarray(config.stddev_rgb, jnp.float32)
   for step in range(eval_steps):
-    batch = next(eval_iter)
+    try:
+      batch = next(eval_iter)
+    except StopIteration:
+      break  # finite eval set smaller than eval_steps: partial pass
     images = (jnp.asarray(batch["image"], jnp.float32) - mean) / std
     b = images.shape[0]
     scales = jnp.broadcast_to(

@@ -193,6 +193,62 @@ int jpeg_decode_resize(const uint8_t* data, int64_t len, uint8_t* out,
   return 0;
 }
 
+// Decode JPEG filling the WHOLE canvas (independent H/W scales, nearest)
+// — the classification train canvas contract (tf.data branch stretches).
+int jpeg_decode_stretch(const uint8_t* data, int64_t len, uint8_t* out,
+                        int out_h, int out_w, int* content_hw) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, (unsigned long)len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  double ratio_h = (double)out_h / cinfo.image_height;
+  double ratio_w = (double)out_w / cinfo.image_width;
+  double ratio = ratio_h > ratio_w ? ratio_h : ratio_w;  // cover both dims
+  if (ratio > 1.0) ratio = 1.0;
+  int num = (int)(ratio * 8.0 + 0.999);
+  if (num < 1) num = 1;
+  if (num > 8) num = 8;
+  cinfo.scale_num = num;
+  cinfo.scale_denom = 8;
+  jpeg_start_decompress(&cinfo);
+  int src_h = cinfo.output_height;
+  int src_w = cinfo.output_width;
+  int comps = cinfo.output_components;
+  uint8_t* rows = (uint8_t*)malloc((size_t)src_h * src_w * comps);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* rowp = rows + (size_t)cinfo.output_scanline * src_w * comps;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  for (int y = 0; y < out_h; y++) {
+    int sy = (int)((double)y * src_h / out_h);
+    if (sy >= src_h) sy = src_h - 1;
+    const uint8_t* src_row = rows + (size_t)sy * src_w * comps;
+    uint8_t* dst_row = out + (size_t)y * out_w * 3;
+    for (int x = 0; x < out_w; x++) {
+      int sx = (int)((double)x * src_w / out_w);
+      if (sx >= src_w) sx = src_w - 1;
+      const uint8_t* p = src_row + (size_t)sx * comps;
+      dst_row[x * 3 + 0] = p[0];
+      dst_row[x * 3 + 1] = comps > 1 ? p[1] : p[0];
+      dst_row[x * 3 + 2] = comps > 2 ? p[2] : p[0];
+    }
+  }
+  free(rows);
+  content_hw[0] = out_h;
+  content_hw[1] = out_w;
+  return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
@@ -206,6 +262,7 @@ int jpeg_decode_resize(const uint8_t* data, int64_t len, uint8_t* out,
 // so Python only sees ready uint8 canvas batches.
 // ---------------------------------------------------------------------------
 
+#include <atomic>
 #include <chrono>
 #include <condition_variable>
 #include <deque>
@@ -401,7 +458,9 @@ struct Pipeline {
   std::deque<std::vector<uint8_t>> work;   // raw records
   std::deque<ExampleOut> ready;
   bool done_reading = false;
-  bool stop = false;
+  std::atomic<bool> stop{false};
+  bool stretch = false;     // cls: fill the canvas (tf.data train parity);
+                            // det: aspect-preserving letterbox
   int in_flight = 0;        // records popped by workers, not yet in ready
   int64_t dropped = 0;      // corrupt/undecodable examples (counted, skipped)
 
@@ -411,9 +470,11 @@ struct Pipeline {
 
 static void reader_main(Pipeline* pl) {
   do {
+    int opened = 0;
     for (const auto& path : pl->files) {
       void* r = tfrecord_open(path.c_str(), 1);
       if (!r) continue;
+      opened++;
       const uint8_t* data;
       int64_t n;
       while ((n = tfrecord_next(r, &data)) >= 0) {
@@ -429,6 +490,7 @@ static void reader_main(Pipeline* pl) {
       tfrecord_close(r);
       if (pl->stop) return;
     }
+    if (opened == 0) break;  // nothing readable: end instead of spinning
   } while (pl->repeat && !pl->stop);
   std::lock_guard<std::mutex> lk(pl->mu);
   pl->done_reading = true;
@@ -465,8 +527,13 @@ static void worker_main(Pipeline* pl) {
         feature_int64(lab_feat, &label);
       out.canvas.resize((size_t)pl->canvas_h * pl->canvas_w * 3);
       int hw[2] = {0, 0};
-      ok = jpeg_decode_resize(jpeg.p, (int64_t)jpeg.n, out.canvas.data(),
-                              pl->canvas_h, pl->canvas_w, hw) == 0;
+      ok = (pl->stretch
+            ? jpeg_decode_stretch(jpeg.p, (int64_t)jpeg.n,
+                                  out.canvas.data(), pl->canvas_h,
+                                  pl->canvas_w, hw)
+            : jpeg_decode_resize(jpeg.p, (int64_t)jpeg.n,
+                                 out.canvas.data(), pl->canvas_h,
+                                 pl->canvas_w, hw)) == 0;
       out.content_h = hw[0];
       out.content_w = hw[1];
       out.label = label;
@@ -515,13 +582,21 @@ static void worker_main(Pipeline* pl) {
         n++;
       }
     }
-    std::lock_guard<std::mutex> lk(pl->mu);
-    pl->in_flight--;
+    std::unique_lock<std::mutex> lk(pl->mu);
     if (ok) {
+      // bound DECODED examples too (a slow consumer must not let ~MB
+      // canvases pile up without limit); consumers notify cv_work on pop.
+      // in_flight stays >0 until the example is visible in `ready`, so
+      // the consumer's exhaustion predicate can never fire early.
+      pl->cv_work.wait(lk, [&] {
+        return pl->stop || pl->ready.size() < pl->prefetch_max;
+      });
+      if (pl->stop) return;
       pl->ready.push_back(std::move(out));
     } else {
       pl->dropped++;
     }
+    pl->in_flight--;
     pl->cv_ready.notify_all();
   }
 }
@@ -533,7 +608,8 @@ extern "C" {
 static Pipeline* create_impl(const char** paths, int n_paths, int batch,
                              int canvas_h, int canvas_w, int n_workers,
                              int prefetch_batches, int repeat, int mode,
-                             int max_instances, int skip_crowd) {
+                             int max_instances, int skip_crowd,
+                             int stretch) {
   auto* pl = new Pipeline();
   for (int i = 0; i < n_paths; i++) pl->files.emplace_back(paths[i]);
   pl->batch = batch;
@@ -544,6 +620,7 @@ static Pipeline* create_impl(const char** paths, int n_paths, int batch,
   pl->mode = mode;                    // set BEFORE threads start (no race)
   pl->max_instances = max_instances;
   pl->skip_crowd = skip_crowd != 0;
+  pl->stretch = stretch != 0;
   pl->reader = std::thread(reader_main, pl);
   if (n_workers < 1) n_workers = 1;
   for (int i = 0; i < n_workers; i++)
@@ -554,8 +631,12 @@ static Pipeline* create_impl(const char** paths, int n_paths, int batch,
 void* pipeline_create(const char** paths, int n_paths, int batch,
                       int canvas_h, int canvas_w, int n_workers,
                       int prefetch_batches, int repeat) {
+  // classification fills the canvas (matches the tf.data train branch's
+  // stretch resize; the old letterbox left black bands random crops then
+  // sampled)
   return create_impl(paths, n_paths, batch, canvas_h, canvas_w, n_workers,
-                     prefetch_batches, repeat, /*mode=*/0, 0, 0);
+                     prefetch_batches, repeat, /*mode=*/0, 0, 0,
+                     /*stretch=*/1);
 }
 
 // Fill images [batch, H, W, 3] u8, labels [batch] i64, content_hw
@@ -600,7 +681,7 @@ void* det_pipeline_create(const char** paths, int n_paths, int batch,
                           int n_workers, int prefetch_batches, int repeat) {
   return create_impl(paths, n_paths, batch, canvas, canvas, n_workers,
                      prefetch_batches, repeat, /*mode=*/1, max_instances,
-                     skip_crowd);
+                     skip_crowd, /*stretch=*/0);
 }
 
 int det_pipeline_next_batch(void* handle, uint8_t* images, float* true_hw,

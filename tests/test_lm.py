@@ -891,3 +891,26 @@ def test_greedy_generate_eos_early_stop():
       cut = 4 + hits[0] + 1
       np.testing.assert_array_equal(got[r, :cut], want[r, :cut])
       assert (got[r, cut:] == 0).all(), got[r]
+
+
+def test_prefix_lm_honored_under_flash_config():
+  """use_flash_attention (or ring/chunk) must NOT silently drop the
+  prefix-LM mask: with causal_attention present the model takes the
+  materialized-mask path and matches the plain dense model exactly
+  (regression for the r3 self-review finding)."""
+  kw = dict(use_remat=False, n_kv_heads=4)
+  base = jnp.asarray([[2, 10, 11, 12, 20, 21, 22, 23]])
+  pref = jnp.asarray([[1, 1, 1, 1, 0, 0, 0, 0]])
+  m_plain = lm_lib.TransformerLM(tiny_cfg(**kw))
+  params = m_plain.init(jax.random.key(0))
+  want, _ = m_plain(params, base, causal_attention=pref)
+  for flag in ({"use_flash_attention": True},
+               {"use_window_chunk": True, "window_chunk_size": 4}):
+    m = lm_lib.TransformerLM(tiny_cfg(**kw, **flag))
+    got, _ = m(params, base, causal_attention=pref)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5,
+                               err_msg=str(flag))
+    # and the prefix actually matters (differs from flag-path w/o prefix)
+    plain, _ = m(params, base)
+    assert float(jnp.max(jnp.abs(plain - got))) > 1e-6

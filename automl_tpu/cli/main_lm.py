@@ -21,10 +21,11 @@ def parse_args(argv=None):
   p.add_argument("--experiment_config", default="",
                  help="override string onto lm_defaults()")
   p.add_argument("--sharding_config", default="gspmd",
-                 choices=["gspmd", "dp", "sp"],
+                 choices=["gspmd", "dp", "sp", "fsdp"],
                  help="gspmd = hero tensor-parallel pspecs; dp = replicated "
                       "weights; sp = sequence-parallel (ring attention over "
-                      "'model'; pair with use_ring_attention=true)")
+                      "'model'; pair with use_ring_attention=true); fsdp = "
+                      "ZeRO-3-style weights+opt-state sharded over 'data'")
   p.add_argument("--mesh_shape", default=None, help="e.g. 1,2,4")
   p.add_argument("--dcn_mesh_shape", default=None,
                  help="multi-slice outer mesh, e.g. 2,1,1 (DCN axis; "
@@ -96,7 +97,8 @@ def main(argv=None):
       config[key] = v
   sharding = {"gspmd": lm_lib.ShardingConfig,
               "dp": lm_lib.ShardingConfig.data_parallel,
-              "sp": lm_lib.ShardingConfig.sequence_parallel}[
+              "sp": lm_lib.ShardingConfig.sequence_parallel,
+              "fsdp": lm_lib.ShardingConfig.fsdp}[
                   args.sharding_config]()
   if args.sharding_config == "sp":
     config.use_ring_attention = True

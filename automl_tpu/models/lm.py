@@ -179,6 +179,28 @@ class ShardingConfig:
                norm_scale=none, activation=act, logits=act,
                cache=P(("replica", "data"), "model", None, None))
 
+  @classmethod
+  def fsdp(cls):
+    """ZeRO-3 / FSDP-style: weights (and therefore optimizer state, which
+    inherits the param shardings under GSPMD — SURVEY §2.7 row 76) are
+    SHARDED OVER THE DATA AXIS; XLA inserts the per-use all-gathers and
+    reduce-scatters, exactly the FSDP communication pattern, with no
+    hand-written wrapper. Activations stay data-parallel. Beyond the
+    reference: hero only shards weights over 'model' (TP) and never
+    shards optimizer state independently of it.
+
+    Param memory per device drops by the data-axis size; compute math is
+    IDENTICAL to data-parallel (dense-equality tested)."""
+    act = P(("replica", "data"), None, None)
+    return cls(embed=P("data", None),
+               attn_qkv=P("data", None, None),
+               attn_o=P("data", None, None),
+               ffn0=P("data", None),
+               ffn1=P("data", None),
+               norm_scale=P(),
+               activation=act, logits=act,
+               cache=P(("replica", "data"), None, None, None))
+
 
 def _constrain(x, pspec: Optional[P]):
   """Apply a sharding constraint when a mesh is active; no-op otherwise."""

@@ -914,3 +914,39 @@ def test_prefix_lm_honored_under_flash_config():
     # and the prefix actually matters (differs from flag-path w/o prefix)
     plain, _ = m(params, base)
     assert float(jnp.max(jnp.abs(plain - got))) > 1e-6
+
+
+def test_fsdp_sharding_matches_dense_and_shards_opt_state():
+  """ZeRO-3 / FSDP mode (ShardingConfig.fsdp): weights AND optimizer state
+  sharded over the data axis (GSPMD inserts the all-gather /
+  reduce-scatter pattern); logits and a train step match the replicated
+  data-parallel model, and the post-step state really is data-sharded."""
+  from automl_tpu.parallel import create_mesh
+  from automl_tpu.train import lm_trainer, optimizers as opt_lib
+
+  cfg = tiny_cfg(use_remat=False)
+  m_dp = lm_lib.TransformerLM(cfg, lm_lib.ShardingConfig.data_parallel())
+  params = m_dp.init(jax.random.key(0))
+  tokens = jax.random.randint(jax.random.key(1), (8, 17), 0, 64)
+  want, _ = m_dp(params, tokens[:, :-1])
+
+  m_fsdp = lm_lib.TransformerLM(cfg, lm_lib.ShardingConfig.fsdp())
+  mesh = create_mesh((1, 8, 1))
+  with jax.set_mesh(mesh):
+    got, _ = jax.jit(lambda p, t: m_fsdp(p, t))(params, tokens[:, :-1])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=1e-3)
+    tx = opt_lib.build_optimizer("lion", 1e-3)
+    state = lm_trainer.LMTrainState(jnp.zeros((), jnp.int32), params,
+                                    tx.init(params))
+    step = jax.jit(lm_trainer.make_lm_train_step(m_fsdp, tx))
+    state, logs = step(state, {"tokens": tokens})
+    assert np.isfinite(float(logs["loss"]))
+    # the embed weight must come back sharded over 'data'
+    spec = state.params["embed"].sharding.spec
+    assert "data" in str(spec), spec
+    # optimizer state inherits the sharding (ZeRO property)
+    mu_leaves = [l for l in jax.tree_util.tree_leaves(state.opt_state)
+                 if hasattr(l, "sharding") and l.ndim >= 2]
+    assert any("data" in str(l.sharding.spec) for l in mu_leaves), [
+        str(l.sharding.spec) for l in mu_leaves[:4]]

@@ -131,6 +131,64 @@ def make_cls_eval_step(model):
   return eval_step
 
 
+def make_seg_train_step(model, tx, config):
+  """-> train_step(state, batch{'image','mask'}, rng) -> (state, metrics).
+
+  Semantic-segmentation training for EfficientDet with heads=['segmentation']
+  (the reference's demo trainer, efficientdet/tf2/segmentation.py:75-91:
+  sparse categorical xent from logits + pixel accuracy). batch['mask'] is
+  [B, Hm, Wm] int32 class ids at the head's output resolution; ids < 0 are
+  ignored (void pixels)."""
+  weight_decay = config.get("weight_decay", 0.0) or 0.0
+  l2_mask = _l2_mask_fn(config.get("weight_decay_exclude"))
+  gclip = config.get("gradient_clip_norm", 0.0) or 0.0
+  ema_decay = config.get("moving_average_decay", 0.0) or 0.0
+
+  def train_step(state: TrainState, batch, rng):
+    step_rng = jax.random.fold_in(rng, state.step)
+    mask = batch["mask"].astype(jnp.int32)
+
+    def loss_fn(params):
+      with nn.rng_scope(step_rng):
+        outputs, bn_updates = nn.run_and_collect_state(
+            lambda: model(params, batch["image"], train=True))
+      # segmentation is the last head output (a bare tensor when it is
+      # the only head)
+      seg_logits = (outputs[-1] if isinstance(outputs, (tuple, list))
+                    else outputs)
+      logp = jax.nn.log_softmax(seg_logits.astype(jnp.float32))
+      valid = (mask >= 0).astype(jnp.float32)
+      safe = jnp.maximum(mask, 0)
+      nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+      xent = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+      l2 = losses_lib.l2_regularization(params, weight_decay, l2_mask)
+      return xent + l2, (seg_logits, bn_updates, xent, l2, valid)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (loss, (seg_logits, bn_updates, xent, l2, valid)), grads = grad_fn(
+        state.params)
+    if gclip:
+      grads = opt_lib.clip_gradients(grads, gclip, per_var=False)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    params = _merge_state_updates(params, bn_updates)
+    ema_params = state.ema_params
+    if ema_params is not None and ema_decay:
+      ema_params = opt_lib.ema_update(ema_params, params, ema_decay,
+                                      state.step)
+    correct = (jnp.argmax(seg_logits, -1) == batch["mask"]).astype(
+        jnp.float32) * valid
+    metrics = {
+        "loss": loss, "xent": xent, "l2": l2,
+        "gnorm": optax.global_norm(grads),
+        "pixel_acc": jnp.sum(correct) / jnp.maximum(jnp.sum(valid), 1.0),
+    }
+    return TrainState(state.step + 1, params, opt_state, ema_params,
+                      state.normalizer), metrics
+
+  return train_step
+
+
 # ---------------------------------------------------------------------------
 # Detection.
 # ---------------------------------------------------------------------------

@@ -172,7 +172,12 @@ class PrefixLMLoader:
 # hero/data_lib.py:38-42). The sentencepiece package is not a dependency
 # here, so the serialized ModelProto is parsed directly (protobuf wire
 # format) and encoding runs the standard unigram Viterbi segmentation over
-# the piece scores.
+# the piece scores. Normalization is reference-exact: the NormalizerSpec's
+# precompiled charsmap (a darts_clone double-array trie over UTF-8 byte
+# sequences + a pool of replacement strings) is decoded and applied with
+# the same longest-match + whitespace rules as sentencepiece's
+# normalizer.cc, so e.g. nmt_nfkc's beyond-NFKC rules (U+200B -> space,
+# control chars -> space) match the reference tokenizer bit-for-bit.
 # ---------------------------------------------------------------------------
 
 _PIECE_NORMAL = 1
@@ -181,6 +186,49 @@ _PIECE_CONTROL = 3
 _PIECE_USER_DEFINED = 4
 _PIECE_BYTE = 6
 _WS = "▁"  # SentencePiece whitespace marker
+
+
+class _CharsMapTrie:
+  """Darts double-array trie over a NormalizerSpec precompiled_charsmap.
+
+  Blob layout (sentencepiece normalizer.cc DecodePrecompiledCharsMap): a
+  little-endian uint32 byte-size of the trie image, the trie image itself
+  (uint32 units), then a pool of NUL-terminated UTF-8 replacement strings.
+  Unit decoding follows darts_clone:
+    offset(u)  = (u >> 10) << ((u & 0x200) >> 6)
+    label(u)   = u & 0x800000FF
+    has_leaf(u)= (u >> 8) & 1
+    value(u)   = u & 0x7FFFFFFF   (read from the leaf unit)
+  """
+
+  def __init__(self, blob: bytes):
+    import struct
+    tsz = struct.unpack("<I", blob[:4])[0]
+    self._units = np.frombuffer(blob[4:4 + tsz], dtype="<u4")
+    self._pool = blob[4 + tsz:]
+
+  def longest_match(self, data: bytes, start: int = 0):
+    """Longest charsmap key matching data[start:]; (nbytes, replacement)."""
+    units = self._units
+    unit = int(units[0])
+    node_pos = (unit >> 10) << ((unit & 0x200) >> 6)
+    best = None
+    for i in range(start, len(data)):
+      c = data[i]
+      p = node_pos ^ c
+      if p >= len(units):
+        break
+      unit = int(units[p])
+      if (unit & 0x800000FF) != c:
+        break
+      node_pos = p ^ ((unit >> 10) << ((unit & 0x200) >> 6))
+      if (unit >> 8) & 1:
+        best = (i + 1 - start, int(units[node_pos]) & 0x7FFFFFFF)
+    if best is None:
+      return None
+    length, v = best
+    end = self._pool.index(b"\0", v)
+    return length, self._pool[v:end].decode("utf-8")
 
 
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
@@ -219,13 +267,14 @@ def _iter_fields(buf: bytes):
 class SentencePieceModel:
   """Unigram SentencePiece tokenizer from a serialized .model blob.
 
-  encode() = NFKC-ish normalization (whitespace -> U+2581, optional dummy
-  prefix) + Viterbi segmentation maximizing summed piece log-probs, with
+  encode() = the model's own NormalizerSpec normalization (precompiled
+  charsmap trie + dummy-prefix/extra-whitespace/escape rules, reference-
+  exact) + Viterbi segmentation maximizing summed piece log-probs, with
   byte fallback for out-of-vocabulary characters when the model carries
   <0xNN> byte pieces. decode() inverts it.
   """
 
-  def __init__(self, model_path: str, add_dummy_prefix: bool = True):
+  def __init__(self, model_path: str, add_dummy_prefix: bool | None = None):
     import struct
     import unicodedata
     self._unicodedata = unicodedata
@@ -234,6 +283,12 @@ class SentencePieceModel:
     self.pieces: list[str] = []
     self.scores: list[float] = []
     self.types: list[int] = []
+    # NormalizerSpec (ModelProto field 3) — proto2 defaults are all-true.
+    self.normalizer_name = "nmt_nfkc"
+    self.remove_extra_whitespaces = True
+    self.escape_whitespaces = True
+    spec_dummy_prefix = True
+    charsmap = b""
     for field, wire, value in _iter_fields(blob):
       if field == 1 and wire == 2:  # repeated SentencePiece
         piece, score, ptype = "", 0.0, _PIECE_NORMAL
@@ -247,8 +302,27 @@ class SentencePieceModel:
         self.pieces.append(piece)
         self.scores.append(score)
         self.types.append(ptype)
+      elif field == 3 and wire == 2:  # NormalizerSpec
+        for f2, w2, v2 in _iter_fields(value):
+          if f2 == 1:
+            self.normalizer_name = v2.decode("utf-8")
+          elif f2 == 2:
+            charsmap = v2
+          elif f2 == 3:
+            spec_dummy_prefix = bool(v2)
+          elif f2 == 4:
+            self.remove_extra_whitespaces = bool(v2)
+          elif f2 == 5:
+            self.escape_whitespaces = bool(v2)
     self.vocab_size = len(self.pieces)
-    self.add_dummy_prefix = add_dummy_prefix
+    self._charsmap = _CharsMapTrie(charsmap) if len(charsmap) > 4 else None
+    self.add_dummy_prefix = (spec_dummy_prefix if add_dummy_prefix is None
+                             else add_dummy_prefix)
+    # USER_DEFINED pieces bypass normalization (normalizer.cc matcher_),
+    # longest first.
+    self._user_defined = sorted(
+        (p.encode("utf-8") for p, t in zip(self.pieces, self.types)
+         if t == _PIECE_USER_DEFINED), key=len, reverse=True)
     self._index = {}
     self._byte_ids = {}
     self.unk_id = 0
@@ -266,12 +340,65 @@ class SentencePieceModel:
     self.pad_id = next((i for i, p in enumerate(self.pieces)
                         if p == "<pad>"), PAD_ID)
 
+  def _normalize_prefix(self, data: bytes, i: int) -> tuple[str, int]:
+    """One normalization step at byte offset i: (replacement, bytes eaten).
+
+    Order matches sentencepiece normalizer.cc NormalizePrefix: user-defined
+    pieces pass through verbatim, then the charsmap's longest match, then a
+    single UTF-8 character copied as-is (malformed bytes -> U+FFFD).
+    """
+    for u in self._user_defined:
+      if data.startswith(u, i):
+        return u.decode("utf-8"), len(u)
+    if self._charsmap is not None:
+      m = self._charsmap.longest_match(data, i)
+      if m is not None:
+        return m[1], m[0]
+    b0 = data[i]
+    n = 1 if b0 < 0xC0 else 2 if b0 < 0xE0 else 3 if b0 < 0xF0 else 4
+    try:
+      return data[i:i + n].decode("utf-8"), n
+    except UnicodeDecodeError:
+      return "�", 1
+
   def _normalize(self, text: str) -> str:
-    text = self._unicodedata.normalize("NFKC", text)
-    text = " ".join(text.split())  # collapse whitespace runs (sp default)
+    """Reference-exact normalization (sentencepiece normalizer.cc Normalize):
+    charsmap rewriting + the spec's dummy-prefix / extra-whitespace /
+    whitespace-escape rules. Models without a charsmap use the spec name:
+    'identity' is a pass-through; anything else approximates with NFKC."""
+    if self._charsmap is None and self.normalizer_name != "identity":
+      text = self._unicodedata.normalize("NFKC", text)
+    data = text.encode("utf-8")
+    n = len(data)
+    i = 0
+    if self.remove_extra_whitespaces:  # ignore heading spaces
+      while i < n:
+        sp, consumed = self._normalize_prefix(data, i)
+        if sp != " ":
+          break
+        i += consumed
+    if i == n:
+      return ""
+    ws = _WS if self.escape_whitespaces else " "
+    out: list[str] = []
     if self.add_dummy_prefix:
-      text = " " + text
-    return text.replace(" ", _WS)
+      out.append(ws)
+    is_prev_space = self.remove_extra_whitespaces
+    while i < n:
+      sp, consumed = self._normalize_prefix(data, i)
+      if is_prev_space:
+        sp = sp.lstrip(" ")
+      if sp:
+        out.append(sp.replace(" ", ws) if self.escape_whitespaces else sp)
+        is_prev_space = sp.endswith(" ")
+      i += consumed
+      if not self.remove_extra_whitespaces:
+        is_prev_space = False
+    s = "".join(out)
+    if self.remove_extra_whitespaces:  # ignore trailing spaces
+      while s.endswith(ws):
+        s = s[:-len(ws)]
+    return s
 
   def encode(self, text: str) -> list[int]:
     s = self._normalize(text)

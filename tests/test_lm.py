@@ -382,6 +382,36 @@ def test_sentencepiece_reader_roundtrip():
   assert len(sp.encode("the")) == 1
 
 
+def test_sentencepiece_precompiled_charsmap_normalizer():
+  """The NormalizerSpec's Darts-trie charsmap is decoded and applied
+  (sentencepiece normalizer.cc semantics), not approximated with NFKC."""
+  import os
+  path = "/root/reference/hero/vb32000_t5_cc.model"
+  if not os.path.exists(path):
+    import pytest
+    pytest.skip("reference vocab blob unavailable")
+  from automl_tpu.data.lm_pipeline import SentencePieceModel
+  sp = SentencePieceModel(path)
+  assert sp.normalizer_name == "nmt_nfkc" and sp._charsmap is not None
+  # nmt_nfkc rules beyond plain NFKC: zero-width space maps to ' ' (NFKC
+  # leaves U+200B alone) and C0 controls like \x01 are deleted outright.
+  assert sp._normalize("Hello​world") == "▁Hello▁world"
+  assert sp._normalize("a\x01b") == "▁ab"
+  # NFKC-compatible foldings via the trie: fullwidth, ligature, circled.
+  assert sp.encode("Ａ") == sp.encode("A")
+  assert sp._normalize("ﬁnal ①") == "▁final▁1"
+  # nbsp -> space, heading/trailing/internal runs collapse
+  assert sp._normalize("   a\t\tb \r\n") == "▁a▁b"
+  # the identity-normalizer model: no charsmap, no dummy prefix, no
+  # extra-whitespace removal; only literal ' ' is escaped.
+  path2 = "/root/reference/hero/vb100864_openmix_v1.model"
+  if os.path.exists(path2):
+    sp2 = SentencePieceModel(path2)
+    assert (sp2.normalizer_name, sp2.add_dummy_prefix,
+            sp2.remove_extra_whitespaces) == ("identity", False, False)
+    assert sp2._normalize("a  b\nc①") == "a▁▁b\nc①"
+
+
 def test_select_local_batch_two_process_slicing():
   from automl_tpu.data.lm_pipeline import select_local_batch
   batch = {"tokens": np.arange(8 * 4).reshape(8, 4),

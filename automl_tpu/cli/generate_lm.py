@@ -38,6 +38,14 @@ def parse_args(argv=None):
   p.add_argument("--step", type=int, default=None,
                  help="checkpoint step (default: latest)")
   p.add_argument("--seed", type=int, default=0)
+  p.add_argument("--draft_model_dir", default=None,
+                 help="run_lm dir of a SMALL draft model (same tokenizer): "
+                      "enables speculative decoding — n_draft tokens are "
+                      "drafted cheaply and verified by ONE target forward; "
+                      "output is token-exact vs plain decode at "
+                      "temperature=0")
+  p.add_argument("--n_draft", type=int, default=4,
+                 help="drafted tokens per speculative iteration")
   return p.parse_args(argv)
 
 
@@ -83,6 +91,10 @@ def main(argv=None):
   from automl_tpu.data import lm_pipeline
 
   config, model, params = load_model(args.model_dir, args.step, args.int8)
+  draft = None
+  if args.draft_model_dir:
+    from automl_tpu.models.speculative import speculative_generate
+    draft = load_model(args.draft_model_dir, None, args.int8)
   tok = (ByteTokenizer() if args.tokenizer == "byte"
          else SentencePieceModel(args.tokenizer))
 
@@ -91,11 +103,17 @@ def main(argv=None):
   outputs = []
   for i, text in enumerate(prompts):
     ids = np.asarray(tok.encode(text), np.int32)[None]
-    out = greedy_generate(
-        model, params, jnp.asarray(ids), args.max_new_tokens,
+    common = dict(
         rng=jax.random.key(args.seed + i), temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p,
         eos_id=(lm_pipeline.EOS_ID if args.stop_at_eos else None))
+    if draft is not None:
+      out = speculative_generate(
+          model, params, draft[1], draft[2], jnp.asarray(ids),
+          args.max_new_tokens, n_draft=args.n_draft, **common)
+    else:
+      out = greedy_generate(model, params, jnp.asarray(ids),
+                            args.max_new_tokens, **common)
     new_ids = np.asarray(out)[0, ids.shape[1]:]
     completion = tok.decode([int(t) for t in new_ids])
     outputs.append(completion)

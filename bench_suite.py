@@ -248,6 +248,121 @@ def bench_lm_decode_int8():
           "prefill": 128, "new_tokens": new_tokens}
 
 
+def bench_lm_spec_decode():
+  """Speculative decoding economics at B=1 (the latency case), measured.
+
+  Random weights can't exhibit a realistic draft acceptance rate, so this
+  reports the measured pieces an operator needs instead of a fantasy tok/s:
+    * plain_tok_per_s     — 234M greedy decode baseline (B=1)
+    * ceiling_tok_per_s   — speculative with the target AS ITS OWN draft
+                            (acceptance == 1): the chunk-verify mechanism's
+                            upper bound including all bookkeeping
+    * draft_ms/chunk_ms/step_ms — per-forward device costs (27M draft
+                            single step, 234M (k+1)-chunk verify, 234M
+                            single step)
+    * breakeven_accept    — leading-acceptance probability where the 27M
+                            draft starts paying: solves
+                            E[advance](p) * step_ms =
+                            (k+1)*draft_ms + chunk_ms
+  """
+  from automl_tpu.models import lm as lm_lib
+  from automl_tpu.models.lm import greedy_generate
+  from automl_tpu.models.speculative import speculative_generate
+
+  cfg, model, params = _lm_model(use_flash=False)
+  k, new_tokens = 4, 256
+
+  dcfg = lm_lib.lm_defaults()
+  dcfg.update(dict(model_dim=512, n_layers=4, n_heads=8, n_kv_heads=8,
+                   head_dim=64, vocab_size=32000, seq_len=2048,
+                   use_flash_attention=False))
+  draft = lm_lib.TransformerLM(dcfg, lm_lib.ShardingConfig.data_parallel())
+  draft_params = jax.jit(draft.init)(jax.random.key(1))
+
+  def prompt(i):
+    return jax.random.randint(jax.random.key(i), (1, 128), 0, cfg.vocab_size)
+
+  @jax.jit
+  def gen_plain(params, p):
+    return greedy_generate(model, params, p, new_tokens)
+
+  @jax.jit
+  def gen_self(params, p):
+    return speculative_generate(model, params, model, params, p,
+                                new_tokens, n_draft=k)
+
+  out = {"metric": "lm234m_spec_decode", "batch": 1, "n_draft": k,
+         "new_tokens": new_tokens}
+  with tempfile.TemporaryDirectory() as d:
+    jax.block_until_ready(gen_plain(params, prompt(0)))
+    args = [(params, prompt(i + 1)) for i in range(PROFILED_CALLS)]
+    plain_ms = device_busy_ms_per_call(gen_plain, args, d)
+  out["plain_tok_per_s"] = round(new_tokens / plain_ms * 1000)
+  out["step_ms"] = round(plain_ms / new_tokens, 3)
+  with tempfile.TemporaryDirectory() as d:
+    jax.block_until_ready(gen_self(params, prompt(0)))
+    args = [(params, prompt(i + 1)) for i in range(PROFILED_CALLS)]
+    self_ms = device_busy_ms_per_call(gen_self, args, d)
+  out["ceiling_tok_per_s"] = round(new_tokens / self_ms * 1000)
+
+  # per-iteration costs of the real draft/verify pieces (prefill excluded:
+  # caches are pre-built outside the timed functions)
+  S = 128 + k + 2
+  kvp = jnp.arange(S)[None]
+  p0 = prompt(0)
+  d_cache = draft.init_cache(1, S)
+  _, d_cache = draft(draft_params, p0, cache=d_cache, cache_index=0,
+                     kv_positions=kvp)
+  t_cache = model.init_cache(1, S)
+  _, t_cache = model(params, p0, cache=t_cache, cache_index=0,
+                     kv_positions=kvp)
+
+  @jax.jit
+  def draft_iter(dp, cache, tok):  # k+1 single-token draft forwards
+    def body(c, j):
+      cache, tok = c
+      lg, cache = draft(dp, tok[:, None],
+                        positions=jnp.full((1, 1), 127 + j, jnp.int32),
+                        cache=cache, cache_index=127 + j, kv_positions=kvp)
+      return (cache, jnp.argmax(lg[:, 0], -1).astype(jnp.int32)), ()
+    (cache, tok), _ = jax.lax.scan(body, (cache, tok), jnp.arange(k + 1))
+    return tok
+
+  @jax.jit
+  def chunk_verify(params, cache, chunk):  # one (k+1)-wide target forward
+    lg, _ = model(params, chunk, positions=127 + jnp.arange(k + 1)[None],
+                  cache=cache, cache_index=127, kv_positions=kvp)
+    return jnp.argmax(lg, -1)
+
+  tok0 = p0[:, -1]
+  with tempfile.TemporaryDirectory() as d:
+    jax.block_until_ready(draft_iter(draft_params, d_cache, tok0))
+    args = [(draft_params, d_cache, tok0)] * PROFILED_CALLS
+    dm = device_busy_ms_per_call(draft_iter, args, d)
+  out["draft_iter_ms"] = round(dm, 3)
+  chunk = jnp.ones((1, k + 1), jnp.int32)
+  with tempfile.TemporaryDirectory() as d:
+    jax.block_until_ready(chunk_verify(params, t_cache, chunk))
+    args = [(params, t_cache, chunk)] * PROFILED_CALLS
+    cm = device_busy_ms_per_call(chunk_verify, args, d)
+  out["chunk_verify_ms"] = round(cm, 3)
+
+  # E[advance] at leading-accept prob a: sum_{j=0..k-1} a^j + a^k (bonus)
+  # = (1-a^k)/(1-a) + a^k; the draft pays once E[advance] * step_ms >=
+  # iteration cost = draft_iter_ms + chunk_verify_ms.
+  import numpy as _np
+  step = plain_ms / new_tokens
+  iter_cost = dm + cm
+  for a in _np.arange(0.05, 1.0, 0.0025):
+    adv = (1 - a ** k) / (1 - a) + a ** k
+    if adv * step >= iter_cost:
+      out["breakeven_accept"] = round(float(a), 3)
+      break
+  else:
+    out["breakeven_accept"] = None
+  return out
+
+
 def bench_lm_moe_vs_dense():
   """MoE at width (r2 verdict weak #6 / next #8): d1024 L4, 8 experts top-2
   expand-4 vs a DENSE expand-8 FFN — matched ACTIVE FLOPs per token
@@ -306,6 +421,7 @@ WORKLOADS = {
     "lm_train": bench_lm_train,
     "lm_decode": bench_lm_decode,
     "lm_decode_int8": bench_lm_decode_int8,
+    "lm_spec_decode": bench_lm_spec_decode,
     "lm_moe": bench_lm_moe_vs_dense,
 }
 

@@ -46,6 +46,11 @@ def parse_args(argv=None):
                       "temperature=0")
   p.add_argument("--n_draft", type=int, default=4,
                  help="drafted tokens per speculative iteration")
+  p.add_argument("--serve_slots", type=int, default=0,
+                 help="N > 0: run ALL prompts through the continuous-"
+                      "batching server (N decode slots over one KV cache; "
+                      "finished prompts free their slot immediately) "
+                      "instead of one sequential generate per prompt")
   return p.parse_args(argv)
 
 
@@ -101,6 +106,19 @@ def main(argv=None):
   prompts = ([args.prompt] if args.prompt is not None
              else [ln.rstrip("\n") for ln in sys.stdin if ln.strip()])
   outputs = []
+  if args.serve_slots > 0:
+    from automl_tpu.inference.lm_server import GenRequest, LMServer
+    server = LMServer(
+        model, params, max_batch=args.serve_slots,
+        max_seq_len=int(config.seq_len), temperature=args.temperature,
+        top_k=args.top_k, top_p=args.top_p, seed=args.seed,
+        eos_id=(lm_pipeline.EOS_ID if args.stop_at_eos else None))
+    reqs = [GenRequest(tok.encode(t), args.max_new_tokens) for t in prompts]
+    for text, res in zip(prompts, server.serve(reqs)):
+      completion = tok.decode(list(res.tokens))
+      outputs.append(completion)
+      print(f"=== {text!r}\n{completion}")
+    return outputs
   for i, text in enumerate(prompts):
     ids = np.asarray(tok.encode(text), np.int32)[None]
     common = dict(

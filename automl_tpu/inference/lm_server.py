@@ -1,0 +1,224 @@
+"""Continuous-batching LM serving engine (slot-based, TPU-native).
+
+The reference serves its LM only as whole-batch generate calls
+(hero/model_lib.py:2268-2394 sample_decode): every request in a batch
+waits for the slowest one, and a new request waits for the whole batch.
+Production TPU serving wants *continuous batching*: a fixed pool of B
+decode slots over ONE persistent KV cache, where finished requests free
+their slot immediately and queued requests are prefilled into free slots
+while the other slots keep decoding.
+
+Design (TPU-first):
+  * ONE cache of shape [B, S] per layer lives across the whole serve
+    loop; every slot sits at a different sequence offset, so cache writes
+    use per-row scatter indices (models/lm.py Attention.apply vector
+    cache_index) with out-of-range positions dropped — inactive slots
+    simply park their writes at index S.
+  * Decode runs in jitted BURSTS of `burst` steps (lax.scan): one
+    host->device round trip and one cache materialization per burst, not
+    per token; rows that finish mid-burst (EOS or budget) freeze exactly
+    like greedy_generate's while_loop (emit pad, skip cache writes), so
+    output is token-exact vs per-request greedy_generate.
+  * Prefill compiles per power-of-two length bucket: a batch-1 forward
+    into a bucket-sized temp cache, then one scatter of the real rows
+    into the slot's row of the big cache (pad rows dropped at index S).
+
+Greedy output is token-exact against greedy_generate per request
+(tests/test_lm_server.py). Sampling params (temperature/top_k/top_p) and
+eos_id are server-level; max_new_tokens is per-request.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from automl_tpu.models.lm import sample_logits
+
+
+@dataclasses.dataclass
+class GenRequest:
+  """One generation request: a prompt and its decode budget."""
+  prompt: Sequence[int]
+  max_new_tokens: int = 64
+
+
+@dataclasses.dataclass
+class GenResult:
+  tokens: list          # generated ids, EOS included when hit
+  prompt_len: int
+  finished_by_eos: bool
+
+
+class LMServer:
+  """Slot-based continuous batching over one persistent [B, S] KV cache."""
+
+  def __init__(self, model, params, max_batch: int = 8,
+               max_seq_len: int = 2048, temperature: float = 0.0,
+               top_k: int = 0, top_p: float = 0.0,
+               eos_id: Optional[int] = None, burst: int = 8, seed: int = 0):
+    self.model, self.params = model, params
+    self.B, self.S = int(max_batch), int(max_seq_len)
+    self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
+    self.eos_id = eos_id
+    self.burst = int(burst)
+    self._rng = jax.random.key(seed)
+    self._decode = jax.jit(self._decode_burst)
+    self._prefill_cache = {}  # bucket length -> jitted prefill
+
+  # -- prefill ---------------------------------------------------------------
+
+  def _prefill_fn(self, bucket: int):
+    if bucket not in self._prefill_cache:
+      def prefill(params, cache, tokens, slot, true_len):
+        # Batch-1 forward into a bucket-sized temp cache; pad positions
+        # beyond true_len are parked at index S (dropped) when the rows
+        # are scattered into the big cache.
+        pos = jnp.arange(bucket)[None]
+        tmp = self.model.init_cache(1, bucket)
+        logits, tmp = self.model(params, tokens, positions=pos, cache=tmp,
+                                 cache_index=0, kv_positions=pos)
+        write = jnp.where(jnp.arange(bucket) < true_len,
+                          jnp.arange(bucket), self.S)
+        new_cache = tuple(
+            {"k": big["k"].at[slot, write].set(t["k"][0], mode="drop"),
+             "v": big["v"].at[slot, write].set(t["v"][0], mode="drop")}
+            for big, t in zip(cache, tmp))
+        return new_cache, logits[0, true_len - 1]
+      self._prefill_cache[bucket] = jax.jit(prefill)
+    return self._prefill_cache[bucket]
+
+  def _bucket(self, n: int) -> int:
+    b = 8
+    while b < n:
+      b *= 2
+    return min(b, self.S)
+
+  # -- decode ----------------------------------------------------------------
+
+  def _decode_burst(self, params, cache, last_tok, lengths, active,
+                    remaining, rng):
+    """`burst` decode steps for all slots at once.
+
+    last_tok: [B] most recent token per slot (KV not yet written).
+    lengths:  [B] tokens currently in each slot's cache row.
+    active:   [B] bool; inactive rows emit 0 and park writes at index S.
+    remaining:[B] decode budget left per row.
+    Returns (cache, toks [B, burst], lengths, active, remaining, rng).
+    """
+    kv_pos = jnp.broadcast_to(jnp.arange(self.S)[None], (self.B, self.S))
+
+    def step(carry, _):
+      cache, tok, lengths, active, remaining, rng = carry
+      rng, sub = jax.random.split(rng)
+      pos = lengths[:, None].astype(jnp.int32)
+      write_idx = jnp.where(active, lengths, self.S)
+      logits, cache = self.model(params, tok[:, None], positions=pos,
+                                 cache=cache, cache_index=write_idx,
+                                 kv_positions=kv_pos)
+      nxt = sample_logits(sub, logits[:, 0], self.temperature,
+                          self.top_k, self.top_p)
+      nxt = jnp.where(active, nxt, 0).astype(jnp.int32)
+      lengths = lengths + active
+      remaining = remaining - active
+      still = active & (remaining > 0)
+      if self.eos_id is not None:
+        still = still & (nxt != self.eos_id)
+      return (cache, nxt, lengths, still, remaining, rng), nxt
+
+    (cache, last_tok, lengths, active, remaining, rng), toks = jax.lax.scan(
+        step, (cache, last_tok, lengths, active, remaining, rng),
+        None, length=self.burst)
+    return cache, toks.T, lengths, active, remaining, rng
+
+  # -- serve loop ------------------------------------------------------------
+
+  def serve(self, requests: Sequence[GenRequest]) -> list[GenResult]:
+    """Run every request through the slot pool; returns results in order."""
+    B, S = self.B, self.S
+    queue = collections.deque(enumerate(requests))
+    results: list[Optional[GenResult]] = [None] * len(requests)
+    outputs: list[list[int]] = [[] for _ in requests]
+
+    cache = self.model.init_cache(B, S)
+    lengths = jnp.zeros((B,), jnp.int32)
+    last_tok = jnp.zeros((B,), jnp.int32)
+    active = jnp.zeros((B,), bool)
+    remaining = jnp.zeros((B,), jnp.int32)
+    slot_req = [None] * B       # request index occupying each slot
+    self.steps = self.busy_slot_steps = 0
+
+    def finalize(ridx):
+      toks = outputs[ridx]
+      by_eos = (self.eos_id is not None and len(toks) > 0
+                and toks[-1] == self.eos_id)
+      results[ridx] = GenResult(tokens=toks, finished_by_eos=by_eos,
+                                prompt_len=len(requests[ridx].prompt))
+
+    while queue or any(r is not None for r in slot_req):
+      active_np = np.asarray(active)
+      # Admit queued requests into free slots.
+      for b in range(B):
+        if slot_req[b] is not None or not queue:
+          continue
+        ridx, req = queue.popleft()
+        prompt = np.asarray(req.prompt, np.int32)
+        lp = int(prompt.shape[0])
+        if lp + req.max_new_tokens > S:
+          raise ValueError(
+              f"request {ridx}: prompt ({lp}) + max_new_tokens "
+              f"({req.max_new_tokens}) exceeds max_seq_len ({S})")
+        bucket = self._bucket(lp)
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :lp] = prompt
+        cache, last_logits = self._prefill_fn(bucket)(
+            self.params, cache, jnp.asarray(padded), b, lp)
+        self._rng, sub = jax.random.split(self._rng)
+        first = sample_logits(sub, last_logits[None], self.temperature,
+                              self.top_k, self.top_p)
+        first = int(first[0])
+        outputs[ridx].append(first)
+        done = (req.max_new_tokens <= 1
+                or (self.eos_id is not None and first == self.eos_id))
+        if done:
+          finalize(ridx)
+          continue
+        slot_req[b] = ridx
+        lengths = lengths.at[b].set(lp)
+        last_tok = last_tok.at[b].set(first)
+        active = active.at[b].set(True)
+        remaining = remaining.at[b].set(req.max_new_tokens - 1)
+        active_np = np.asarray(active)
+
+      if not active_np.any():
+        continue
+      prev_remaining = np.asarray(remaining)
+      cache, toks, lengths, active, remaining, self._rng = self._decode(
+          self.params, cache, last_tok, lengths, active, remaining,
+          self._rng)
+      toks_np = np.asarray(toks)
+      new_remaining = np.asarray(remaining)
+      active_after = np.asarray(active)
+      emitted = prev_remaining - new_remaining  # per-row tokens this burst
+      self.steps += self.burst
+      self.busy_slot_steps += int(emitted.sum())
+      fixed_last = np.array(last_tok)  # writable host copy
+      for b in range(B):
+        ridx = slot_req[b]
+        if ridx is None:
+          continue
+        n = int(emitted[b])
+        outputs[ridx].extend(int(t) for t in toks_np[b, :n])
+        if n > 0:
+          fixed_last[b] = toks_np[b, n - 1]
+        if not active_after[b]:
+          finalize(ridx)
+          slot_req[b] = None
+      last_tok = jnp.asarray(fixed_last)
+
+    return results

@@ -360,10 +360,27 @@ class Attention(Module):
 
     if cache is not None:
       # In-place cache update at cache_index (decode path).
-      k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
-                                       (0, cache_index, 0, 0))
-      v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
-                                       (0, cache_index, 0, 0))
+      idx = jnp.asarray(cache_index)
+      if idx.ndim >= 1:
+        # Per-row (or per-token) write positions — continuous-batching
+        # serving, where every slot sits at a different sequence offset.
+        # [B]: row b writes its T tokens at idx[b] + arange(T).
+        # [B, T]: fully explicit per-token positions (bucketed prefill
+        # parks padding at an out-of-range index). Out-of-range positions
+        # are DROPPED by the scatter (jax out-of-bounds update semantics),
+        # which is exactly the masked-write we want for inactive slots.
+        t_idx = (idx[:, None] + jnp.arange(k.shape[1])[None, :]
+                 if idx.ndim == 1 else idx)
+        b_idx = jnp.arange(k.shape[0])[:, None]
+        k = cache["k"].at[b_idx, t_idx].set(
+            k.astype(cache["k"].dtype), mode="drop")
+        v = cache["v"].at[b_idx, t_idx].set(
+            v.astype(cache["v"].dtype), mode="drop")
+      else:
+        k = jax.lax.dynamic_update_slice(
+            cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
       new_cache = {"k": k, "v": v}
     else:
       new_cache = {"k": k, "v": v}

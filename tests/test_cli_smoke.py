@@ -119,6 +119,11 @@ def test_generate_lm_cli_end_to_end(tmp_path):
                             "--temperature", "0.7", "--top_k", "5"])
   assert len(outs2) == 1
 
+  # continuous-batching server path: same greedy completion as sequential
+  outs3 = generate_lm.main(["--model_dir", d, "--prompt", "abcabc",
+                            "--max_new_tokens", "6", "--serve_slots", "2"])
+  assert outs3 == outs
+
 
 def test_eval_state_template_matches_training_checkpoint(tmp_path):
   """The eval-mode restore template must structurally match what training

@@ -1,0 +1,133 @@
+"""Continuous-batching LM server: token-exactness vs greedy_generate.
+
+The server (inference/lm_server.py) must produce byte-identical greedy
+output to per-request greedy_generate while multiplexing requests through
+a fixed slot pool — slots are freed mid-flight, queued requests prefill
+into reused slots, and decode runs in jitted bursts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from automl_tpu.models import lm as lm_lib
+from automl_tpu.models.lm import greedy_generate
+from automl_tpu.inference.lm_server import GenRequest, LMServer
+
+
+def _tiny_model():
+  cfg = lm_lib.lm_defaults()
+  cfg.update(dict(model_dim=64, n_layers=2, n_heads=4, n_kv_heads=4,
+                  head_dim=16, vocab_size=97, seq_len=256,
+                  use_flash_attention=False))
+  model = lm_lib.TransformerLM(cfg, lm_lib.ShardingConfig.data_parallel())
+  params = jax.jit(model.init)(jax.random.key(0))
+  return cfg, model, params
+
+
+def _reference_tokens(model, params, prompt, max_new, eos_id=None):
+  out = greedy_generate(model, params, jnp.asarray(prompt, jnp.int32)[None],
+                        max_new, eos_id=eos_id)
+  gen = [int(t) for t in np.asarray(out)[0, len(prompt):]]
+  if eos_id is not None and eos_id in gen:
+    gen = gen[:gen.index(eos_id) + 1]
+  return gen
+
+
+def test_server_token_exact_with_slot_reuse():
+  """5 requests with mixed prompt lengths/budgets through 2 slots: every
+  completion is token-exact vs its own greedy_generate run, including
+  requests that queue behind a full pool and reuse freed slots."""
+  cfg, model, params = _tiny_model()
+  rng = np.random.RandomState(0)
+  prompts = [rng.randint(1, cfg.vocab_size, size=n).tolist()
+             for n in (3, 17, 9, 30, 5)]
+  budgets = [13, 6, 21, 1, 9]
+
+  server = LMServer(model, params, max_batch=2, max_seq_len=128, burst=4)
+  results = server.serve([GenRequest(p, m) for p, m in zip(prompts, budgets)])
+
+  for i, (p, m) in enumerate(zip(prompts, budgets)):
+    want = _reference_tokens(model, params, p, m)
+    assert results[i].tokens == want, f"request {i} diverged"
+    assert results[i].prompt_len == len(p)
+  # the pool actually multiplexed: 5 requests never fit 2 slots at once
+  assert server.busy_slot_steps > 0
+
+
+class _EosAtPosition:
+  """Wraps a TransformerLM to force token `eos` at query position `at_pos`.
+
+  A tiny random model greedy-decodes straight into a fixed point, so a
+  natural mid-run EOS never occurs; this bias makes the EOS step
+  deterministic and position-dependent (different per prompt length),
+  applied identically to the server and the greedy_generate reference."""
+
+  def __init__(self, inner, eos, at_pos):
+    self.inner, self.eos, self.at_pos = inner, eos, at_pos
+
+  def init_cache(self, *a, **kw):
+    return self.inner.init_cache(*a, **kw)
+
+  def __call__(self, params, tokens, positions=None, **kw):
+    b, t = tokens.shape
+    if positions is None:
+      positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    logits, cache = self.inner(params, tokens, positions=positions, **kw)
+    bump = jnp.where(positions == self.at_pos, 1e4, 0.0)
+    return logits.at[..., self.eos].add(bump), cache
+
+
+def test_server_eos_early_stop():
+  """eos_id frees the slot at the emitted EOS token: output matches the
+  eos-truncated greedy_generate output, finished_by_eos is set, and the
+  freed slot serves a queued request."""
+  cfg, model, params = _tiny_model()
+  eos = 3
+  model = _EosAtPosition(model, eos, at_pos=10)
+  rng = np.random.RandomState(1)
+  # lp=7 -> EOS at generated index 4 (mid-burst with burst=3); lp=12 ->
+  # the biased position is inside the prompt, never hit -> full budget;
+  # lp=4 -> EOS at generated index 7.
+  prompts = [rng.randint(4, cfg.vocab_size, size=n).tolist()
+             for n in (7, 12, 4)]
+
+  server = LMServer(model, params, max_batch=1, max_seq_len=128, burst=3,
+                    eos_id=eos)
+  results = server.serve([GenRequest(p, 12) for p in prompts])
+
+  for i, p in enumerate(prompts):
+    want = _reference_tokens(model, params, p, 12, eos_id=eos)
+    assert results[i].tokens == want, f"request {i} diverged"
+    assert results[i].finished_by_eos == (want[-1] == eos)
+  assert results[0].finished_by_eos and len(results[0].tokens) == 5
+  assert not results[1].finished_by_eos and len(results[1].tokens) == 12
+  assert results[2].finished_by_eos and len(results[2].tokens) == 8
+
+
+def test_vector_cache_index_matches_scalar():
+  """The per-row scatter cache write (vector cache_index) is numerically
+  identical to the scalar dynamic_update_slice path when all rows share
+  one offset, and out-of-range rows are dropped."""
+  cfg, model, params = _tiny_model()
+  b, t0, S = 2, 6, 32
+  toks = jax.random.randint(jax.random.key(3), (b, t0), 1, cfg.vocab_size)
+  kv_pos = jnp.broadcast_to(jnp.arange(S)[None], (b, S))
+  cache = model.init_cache(b, S)
+  logits_s, cache_s = model(params, toks, cache=cache, cache_index=0,
+                            kv_positions=kv_pos)
+  logits_v, cache_v = model(
+      params, toks, cache=cache, cache_index=jnp.zeros((b,), jnp.int32),
+      kv_positions=kv_pos)
+  np.testing.assert_allclose(np.asarray(logits_s), np.asarray(logits_v),
+                             rtol=0, atol=0)
+  for cs, cv in zip(cache_s, cache_v):
+    np.testing.assert_array_equal(np.asarray(cs["k"]), np.asarray(cv["k"]))
+  # a row parked at index S must leave the cache untouched
+  step = jax.random.randint(jax.random.key(4), (b, 1), 1, cfg.vocab_size)
+  _, cache_p = model(params, step,
+                     positions=jnp.full((b, 1), t0, jnp.int32),
+                     cache=cache_s, cache_index=jnp.asarray([t0, S]),
+                     kv_positions=kv_pos)
+  assert np.asarray(cache_p[0]["k"][0, t0]).any()      # row 0 wrote
+  assert not np.asarray(cache_p[0]["k"][1, t0]).any()  # row 1 dropped

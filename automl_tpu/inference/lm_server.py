@@ -85,10 +85,25 @@ class LMServer:
                                  cache_index=0, kv_positions=pos)
         write = jnp.where(jnp.arange(bucket) < true_len,
                           jnp.arange(bucket), self.S)
-        new_cache = tuple(
-            {"k": big["k"].at[slot, write].set(t["k"][0], mode="drop"),
-             "v": big["v"].at[slot, write].set(t["v"][0], mode="drop")}
-            for big, t in zip(cache, tmp))
+        # The cache is rank-3 (models/lm.py init_cache): k [B*n_kv, hd, S],
+        # v [B*n_kv, S, hd]; slot b owns rows b*n_kv .. (b+1)*n_kv. Write
+        # the slot's rows functionally: pad columns park at index S and
+        # are dropped.
+        new_cache = []
+        for big, t in zip(cache, tmp):
+          nkv, hd, _ = t["k"].shape
+          krow = jax.lax.dynamic_slice(
+              big["k"], (slot * nkv, 0, 0), (nkv, hd, self.S))
+          krow = krow.at[:, :, write].set(t["k"], mode="drop")
+          vrow = jax.lax.dynamic_slice(
+              big["v"], (slot * nkv, 0, 0), (nkv, self.S, hd))
+          vrow = vrow.at[:, write].set(t["v"], mode="drop")
+          new_cache.append(
+              {"k": jax.lax.dynamic_update_slice(
+                  big["k"], krow, (slot * nkv, 0, 0)),
+               "v": jax.lax.dynamic_update_slice(
+                  big["v"], vrow, (slot * nkv, 0, 0))})
+        new_cache = tuple(new_cache)
         return new_cache, logits[0, true_len - 1]
       self._prefill_cache[bucket] = jax.jit(prefill)
     return self._prefill_cache[bucket]

@@ -129,5 +129,7 @@ def test_vector_cache_index_matches_scalar():
                      positions=jnp.full((b, 1), t0, jnp.int32),
                      cache=cache_s, cache_index=jnp.asarray([t0, S]),
                      kv_positions=kv_pos)
-  assert np.asarray(cache_p[0]["k"][0, t0]).any()      # row 0 wrote
-  assert not np.asarray(cache_p[0]["k"][1, t0]).any()  # row 1 dropped
+  # the cache is rank-3: k [B*n_kv, hd, S]; batch row b owns rows
+  # b*n_kv..(b+1)*n_kv (4 kv heads in the tiny model)
+  assert np.asarray(cache_p[0]["k"][:4, :, t0]).any()      # row 0 wrote
+  assert not np.asarray(cache_p[0]["k"][4:8, :, t0]).any()  # row 1 dropped

@@ -59,6 +59,10 @@ def lm_defaults() -> Config:
       use_window_chunk=False, # chunked (blockwise 2-chunk) local attention
       window_chunk_size=None,
       use_flash_attention=False,  # Pallas kernel for train/prefill attention
+      use_decode_kernel=True,     # Pallas kernel for KV-cached decode
+                                  # attention (ops/decode_attention.py) —
+                                  # pins the cache layout, no relayout
+                                  # copies; False = rank-3 XLA dots
       use_combined_qkv=False,     # stacked [3,d,n,h] qkv matmul (hero
                                   # model_lib.py:562; fewer decode dispatches)
       use_ring_attention=False,   # sequence-parallel ring attention over the
@@ -403,6 +407,16 @@ class Attention(Module):
         vc = jax.lax.dynamic_update_slice(
             cache["v"], vr.astype(cache["v"].dtype), (0, cache_index, 0))
       new_cache = {"k": kc, "v": vc}
+      if cfg.get("use_decode_kernel", True):
+        # Pallas decode-attention kernel: reads the rank-3 cache in its
+        # stored layout (pallas_call pins default layouts, so the while-
+        # loop carry never relayout-copies), resolves GQA in the index
+        # map (no jnp.repeat materialization), online softmax over S.
+        from automl_tpu.ops.decode_attention import decode_attention
+        out = decode_attention(q, kc, vc, mask, n_kv_heads=self.n_kv,
+                               logit_cap=cfg.attn_logit_cap or 0.0)
+        out = jnp.einsum("bqnh,dnh->bqd", out.astype(adt), wo)
+        return _constrain(out, sh.activation), new_cache
       if self.n_kv != self.n_heads:
         rep = self.n_heads // self.n_kv
         s_len = kc.shape[-1]

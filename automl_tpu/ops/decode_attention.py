@@ -1,0 +1,150 @@
+"""Pallas decode-attention kernel: KV-cached attention for serving.
+
+Why a kernel (PERF_NOTES round 3, decode layout forensics): every XLA
+formulation of the decode QK product either lowers to a VPU
+multiply-reduce fusion with heads on lanes (8/128 lane occupancy, 23x off
+the HBM roofline) or forces a full relayout copy of the loop-carried KV
+cache every step (~91 us/layer). A pallas_call pins its operands to
+default layouts, so the carried cache stays put and the K/V reads stream
+at full HBM bandwidth.
+
+Design:
+  * operates directly on the rank-3 cache layout the model stores
+    (models/lm.py init_cache): k [B*n_kv, hd, S] (sequence on lanes),
+    v [B*n_kv, S, hd];
+  * grid (B*n_heads, S_blocks), S innermost, classic online-softmax
+    accumulators in VMEM scratch (same scheme as ops/attention.py
+    _fwd_kernel);
+  * GQA is resolved in the BlockSpec index_map (q row r reads kv row
+    (r // n)*n_kv + (r % n)//rep) — no jnp.repeat materialization of the
+    cache;
+  * masking is fully general: the caller passes the [B, T, S] boolean
+    mask it already computes (causal + window + segments + prefix-LM),
+    which at decode T is tiny;
+  * forward-only: no gradients flow through serving, so there is no
+    custom_vjp boundary to block XLA fusions around the call
+    (the round-2 lesson from the depthwise kernel).
+
+The reference's serving path is a plain einsum on [B, S, n, h]
+(hero/model_lib.py:700-760 attention); this kernel is the TPU-native
+replacement.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *,
+            block_s, num_s_blocks, s_len, logit_cap):
+  j = pl.program_id(1)
+
+  @pl.when(j == 0)
+  def _init():
+    m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+    l_scr[:] = jnp.zeros_like(l_scr)
+    acc_scr[:] = jnp.zeros_like(acc_scr)
+
+  t = q_ref.shape[1]
+  q = q_ref[0].astype(jnp.float32)                    # [T, hd]
+  k = k_ref[0].astype(jnp.float32)                    # [hd, bs]
+  v = v_ref[0].astype(jnp.float32)                    # [bs, hd]
+  # zero the pad lanes of a trailing partial block: they are uninitialized
+  # (NaN in interpret mode) and 0 * NaN = NaN would poison the p @ v dot
+  col = j * block_s + jax.lax.broadcasted_iota(jnp.int32, (t, block_s), 1)
+  k_cols = j * block_s + jax.lax.broadcasted_iota(
+      jnp.int32, (1, block_s), 1)
+  v_rows = j * block_s + jax.lax.broadcasted_iota(
+      jnp.int32, (block_s, 1), 0)
+  k = jnp.where(k_cols < s_len, k, 0.0)
+  v = jnp.where(v_rows < s_len, v, 0.0)
+
+  s = jax.lax.dot_general(q, k, (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)  # [T, bs]
+  if logit_cap:
+    s = logit_cap * jnp.tanh(s / logit_cap)
+  live = (mask_ref[0] != 0) & (col < s_len)
+  s = jnp.where(live, s, NEG_INF)
+
+  m_prev = m_scr[:]                                   # [T, 1]
+  m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+  # fully-masked-so-far rows keep m == NEG_INF; alpha == 0 on the first
+  # live block flushes their garbage p rows (classic online softmax)
+  alpha = jnp.exp(m_prev - m_new)
+  p = jnp.exp(s - m_new)
+  p = jnp.where(live, p, 0.0)
+  l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+  acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+      p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+  m_scr[:] = m_new
+
+  @pl.when(j == num_s_blocks - 1)
+  def _finalize():
+    l = jnp.maximum(l_scr[:], 1e-30)
+    o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+def decode_attention(q, k_cache, v_cache, mask, *, n_kv_heads: int,
+                     logit_cap: float = 0.0, block_s: int = 2048,
+                     interpret: bool | None = None):
+  """KV-cached attention on the rank-3 decode cache.
+
+  q: [B, T, N, H], already scaled (T = 1 for decode, small for
+  speculative chunk verification / prefill-with-cache).
+  k_cache: [B*n_kv, H, S]; v_cache: [B*n_kv, S, H] (models/lm.py
+  init_cache layout). mask: [B, T, S] bool, True = attend.
+  Returns [B, T, N, H] (f32 accumulation, cast to q.dtype).
+  """
+  b, t, n, h = q.shape
+  rows_kv, _, s_len = k_cache.shape
+  if rows_kv != b * n_kv_heads:
+    raise ValueError(f"k_cache rows {rows_kv} != B*n_kv {b * n_kv_heads}")
+  if n % n_kv_heads != 0:
+    raise ValueError(f"GQA requires n_heads ({n}) divisible by "
+                     f"n_kv_heads ({n_kv_heads})")
+  rep = n // n_kv_heads
+  if interpret is None:
+    interpret = jax.default_backend() != "tpu"
+  block_s = min(block_s, s_len)
+  num_s = pl.cdiv(s_len, block_s)
+
+  # Mosaic has no sublane broadcast: an M=1 (or any M<8) q row cannot be
+  # broadcast across sublanes for the dot. Pad T to the 8-sublane minimum;
+  # pad rows are fully masked (l clamps to 1e-30, acc stays 0) and sliced
+  # off below — the kernel stays K/V-bandwidth-bound either way.
+  t_pad = max(8, -(-t // 8) * 8)
+  qf = q.transpose(0, 2, 1, 3).reshape(b * n, t, h)
+  qf = jnp.pad(qf, ((0, 0), (0, t_pad - t), (0, 0)))
+  mask8 = jnp.pad(mask.astype(jnp.int8), ((0, 0), (0, t_pad - t), (0, 0)))
+
+  def kv_row(r):
+    return (r // n) * n_kv_heads + (r % n) // rep
+
+  out = pl.pallas_call(
+      functools.partial(_kernel, block_s=block_s, num_s_blocks=num_s,
+                        s_len=s_len, logit_cap=logit_cap),
+      grid=(b * n, num_s),
+      in_specs=[
+          pl.BlockSpec((1, t_pad, h), lambda r, j: (r, 0, 0)),
+          pl.BlockSpec((1, h, block_s), lambda r, j: (kv_row(r), 0, j)),
+          pl.BlockSpec((1, block_s, h), lambda r, j: (kv_row(r), j, 0)),
+          pl.BlockSpec((1, t_pad, block_s), lambda r, j: (r // n, 0, j)),
+      ],
+      out_specs=pl.BlockSpec((1, t_pad, h), lambda r, j: (r, 0, 0)),
+      out_shape=jax.ShapeDtypeStruct((b * n, t_pad, h), q.dtype),
+      scratch_shapes=[
+          pltpu.VMEM((t_pad, 1), jnp.float32),
+          pltpu.VMEM((t_pad, 1), jnp.float32),
+          pltpu.VMEM((t_pad, h), jnp.float32),
+      ],
+      interpret=interpret,
+  )(qf, k_cache, v_cache, mask8)
+  out = out[:, :t]
+  return out.reshape(b, n, t, h).transpose(0, 2, 1, 3)

@@ -1,0 +1,72 @@
+"""Pallas decode-attention kernel vs a dense softmax oracle.
+
+The kernel (ops/decode_attention.py) runs on the rank-3 decode cache
+layout with online softmax over S blocks, GQA resolved in the index map,
+and an arbitrary [B, T, S] boolean mask. CPU runs interpret mode; the
+same code is compile-checked and benchmarked on the chip (PERF_NOTES
+round 3: 80 -> 54.5 us vs a ~41 us HBM roofline at b8 S=1024).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from automl_tpu.ops.decode_attention import decode_attention
+
+
+def _oracle(q, k_cache, v_cache, mask, n_kv, logit_cap=0.0):
+  b, t, n, h = q.shape
+  s = k_cache.shape[-1]
+  k = k_cache.reshape(b, n_kv, h, s)
+  v = v_cache.reshape(b, n_kv, s, h)
+  rep = n // n_kv
+  k = np.repeat(np.asarray(k, np.float32), rep, axis=1)
+  v = np.repeat(np.asarray(v, np.float32), rep, axis=1)
+  qf = np.asarray(q, np.float32).transpose(0, 2, 1, 3)      # [b,n,t,h]
+  logits = np.einsum("bnth,bnhs->bnts", qf, k)
+  if logit_cap:
+    logits = logit_cap * np.tanh(logits / logit_cap)
+  logits = np.where(np.asarray(mask)[:, None], logits, -1e30)
+  m = logits.max(-1, keepdims=True)
+  p = np.exp(logits - m)
+  out = np.einsum("bnts,bnsh->bnth", p / p.sum(-1, keepdims=True), v)
+  return out.transpose(0, 2, 1, 3)
+
+
+def _case(b, t, n, n_kv, h, s, cap=0.0, seed=0, block_s=2048):
+  ks = jax.random.split(jax.random.key(seed), 4)
+  q = jax.random.normal(ks[0], (b, t, n, h), jnp.float32)
+  kc = jax.random.normal(ks[1], (b * n_kv, h, s), jnp.float32)
+  vc = jax.random.normal(ks[2], (b * n_kv, s, h), jnp.float32)
+  # random mask, but guarantee at least one live key per query row
+  mask = jax.random.bernoulli(ks[3], 0.6, (b, t, s))
+  mask = mask.at[:, :, 0].set(True)
+  got = decode_attention(q, kc, vc, mask, n_kv_heads=n_kv, logit_cap=cap,
+                         block_s=block_s)
+  want = _oracle(q, kc, vc, mask, n_kv, cap)
+  np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=2e-5)
+
+
+def test_decode_attention_matches_oracle_t1():
+  _case(b=2, t=1, n=4, n_kv=4, h=16, s=64)
+
+
+def test_decode_attention_gqa_and_cap():
+  _case(b=2, t=1, n=8, n_kv=2, h=16, s=48, cap=50.0)
+
+
+def test_decode_attention_chunk_verify_shape():
+  """T > 1 (speculative chunk verification) with S not a block multiple:
+  exercises online-softmax across blocks + trailing-block padding."""
+  _case(b=2, t=5, n=4, n_kv=4, h=16, s=80, block_s=32, seed=3)
+
+
+def test_decode_attention_fully_masked_row_is_finite():
+  """A fully-masked query row (inactive server slot) must produce finite
+  output (zeros), not NaN."""
+  b, t, n, h, s = 1, 1, 2, 16, 32
+  q = jnp.ones((b, t, n, h))
+  kc = jnp.ones((b * n, h, s))
+  vc = jnp.ones((b * n, s, h))
+  out = decode_attention(q, kc, vc, jnp.zeros((b, t, s), bool), n_kv_heads=n)
+  assert np.isfinite(np.asarray(out)).all()

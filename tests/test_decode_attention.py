@@ -70,3 +70,26 @@ def test_decode_attention_fully_masked_row_is_finite():
   vc = jnp.ones((b * n, s, h))
   out = decode_attention(q, kc, vc, jnp.zeros((b, t, s), bool), n_kv_heads=n)
   assert np.isfinite(np.asarray(out)).all()
+
+
+def test_decode_kernel_under_tp_mesh_token_exact():
+  """Generation with the decode kernel under a (1,2,4) mesh must match the
+  unmeshed result token-for-token: GSPMD treats the pallas_call as an
+  opaque custom call and replicates its operands, which is functionally
+  correct (multi-chip tp serving would want a shard_map wrapping for
+  performance — documented in docs/lm.md, not yet needed single-chip)."""
+  from automl_tpu import nn
+  from automl_tpu.models.lm import lm_defaults, TransformerLM, greedy_generate
+  from automl_tpu.parallel import create_mesh
+
+  nn.set_policy("float32")
+  cfg = lm_defaults()
+  cfg.override("model_dim=64,n_layers=2,n_heads=8,n_kv_heads=4,head_dim=16,"
+               "vocab_size=97,seq_len=64,activation_dtype=float32")
+  model = TransformerLM(cfg)
+  params = model.init(jax.random.key(0))
+  prompt = jax.random.randint(jax.random.key(1), (2, 8), 0, 97)
+  ref = greedy_generate(model, params, prompt, 8)
+  with jax.set_mesh(create_mesh((1, 2, 4))):
+    out = greedy_generate(model, params, prompt, 8)
+  np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -61,7 +61,15 @@ class LMServer:
   def __init__(self, model, params, max_batch: int = 8,
                max_seq_len: int = 2048, temperature: float = 0.0,
                top_k: int = 0, top_p: float = 0.0,
-               eos_id: Optional[int] = None, burst: int = 8, seed: int = 0):
+               eos_id: Optional[int] = None, burst: int = 8, seed: int = 0,
+               cast_weights: bool = True):
+    from automl_tpu.models.lm import cast_lm_params_for_serving
+    if cast_weights and getattr(model, "cfg", None) is not None:
+      # One-time f32 -> activation-dtype cast of the matmul weights:
+      # the per-burst jit otherwise re-converts ~all weights every call
+      # (~1.5 ms/burst at 234M on-chip). Bit-identical output — the same
+      # rounding happens in-graph when the weights are left f32.
+      params = cast_lm_params_for_serving(params, model.cfg)
     self.model, self.params = model, params
     self.B, self.S = int(max_batch), int(max_seq_len)
     self.temperature, self.top_k, self.top_p = temperature, top_k, top_p

@@ -63,6 +63,20 @@ def lm_defaults() -> Config:
                                   # attention (ops/decode_attention.py) —
                                   # pins the cache layout, no relayout
                                   # copies; False = rank-3 XLA dots
+      decode_kernel_min_s=768,    # cache length below which decode uses
+                                  # the rank-3 XLA dots instead: the
+                                  # kernel's fixed per-call dispatch
+                                  # (~25-40 us x n_layers) outweighs its
+                                  # relayout-copy win at short S
+                                  # (PERF_NOTES round-3 crossover)
+      serve_tp=False,             # tensor-parallel SERVING: head-leading
+                                  # rank-4 cache [n_kv, B, hd, S] sharded
+                                  # over 'model', decode attention
+                                  # shard_map'd per head slice (GSPMD
+                                  # would all-gather the cache around the
+                                  # opaque pallas_call otherwise). Beyond
+                                  # the reference: hero has no sharded
+                                  # serving path at all.
       use_combined_qkv=False,     # stacked [3,d,n,h] qkv matmul (hero
                                   # model_lib.py:562; fewer decode dispatches)
       use_ring_attention=False,   # sequence-parallel ring attention over the
@@ -377,6 +391,42 @@ class Attention(Module):
       # lanes), v [B*n_kv, S, hd] — both dots run reshape-free, 6.6 ->
       # 1.3 ms/step (b8 S=1024, 12 layers).
       b, t = x.shape[0], x.shape[1]
+      if cfg.get("serve_tp"):
+        # Tensor-parallel serving: head-leading rank-4 cache sharded over
+        # 'model' (init_cache serve_tp=True), kernel shard_map'd per head
+        # slice. Scalar cache_index only (whole-batch prefill + decode);
+        # the continuous-batching vector-index form stays single-chip.
+        if not cfg.get("use_decode_kernel", True):
+          raise ValueError("serve_tp requires use_decode_kernel=True")
+        idx = jnp.asarray(cache_index)
+        if idx.ndim >= 1:
+          raise NotImplementedError(
+              "serve_tp supports scalar cache_index (whole-batch decode); "
+              "per-slot continuous batching under tp is not implemented")
+        from automl_tpu.ops.decode_attention import (decode_attention,
+                                                     decode_attention_tp)
+        spec = P("model", None, None, None)
+        kr4 = jnp.transpose(k, (2, 0, 3, 1)).astype(  # [n_kv, B, hd, T]
+            cache["k"].dtype)
+        vr4 = jnp.transpose(v, (2, 0, 1, 3)).astype(  # [n_kv, B, T, hd]
+            cache["v"].dtype)
+        kc = _constrain(jax.lax.dynamic_update_slice(
+            cache["k"], kr4, (0, 0, 0, idx)), spec)
+        vc = _constrain(jax.lax.dynamic_update_slice(
+            cache["v"], vr4, (0, 0, idx, 0)), spec)
+        new_cache = {"k": kc, "v": vc}
+        cap = cfg.attn_logit_cap or 0.0
+        if _mesh_axis_active("model"):
+          out = decode_attention_tp(
+              q, kc, vc, mask, jax.sharding.get_abstract_mesh(),
+              n_kv_heads=self.n_kv, logit_cap=cap)
+        else:  # no mesh: local == global, plain head-major call
+          out = decode_attention(
+              q, kc.reshape(self.n_kv * b, self.head_dim, -1),
+              vc.reshape(self.n_kv * b, -1, self.head_dim), mask,
+              n_kv_heads=self.n_kv, logit_cap=cap, layout="head_major")
+        out = jnp.einsum("bqnh,dnh->bqd", out.astype(adt), wo)
+        return _constrain(out, sh.activation), new_cache
       kr = jnp.transpose(k, (0, 2, 3, 1)).reshape(  # [B*n_kv, hd, T]
           b * self.n_kv, self.head_dim, t)
       vr = jnp.transpose(v, (0, 2, 1, 3)).reshape(  # [B*n_kv, T, hd]
@@ -407,7 +457,8 @@ class Attention(Module):
         vc = jax.lax.dynamic_update_slice(
             cache["v"], vr.astype(cache["v"].dtype), (0, cache_index, 0))
       new_cache = {"k": kc, "v": vc}
-      if cfg.get("use_decode_kernel", True):
+      if cfg.get("use_decode_kernel", True) and \
+          kc.shape[-1] >= int(cfg.get("decode_kernel_min_s", 768) or 0):
         # Pallas decode-attention kernel: reads the rank-3 cache in its
         # stored layout (pallas_call pins default layouts, so the while-
         # loop carry never relayout-copies), resolves GQA in the index
@@ -962,8 +1013,20 @@ class TransformerLM(Module):
     Per-layer (not stacked [L,...]) so the decode loop never dynamic-slices
     the layer dimension — see the layout-copy note in apply()."""
     cfg = self.cfg
-    rows = batch_size * cfg.n_kv_heads
     dt = jnp.dtype(cfg.activation_dtype)
+    if cfg.get("serve_tp"):
+      # Tensor-parallel serving: HEAD-LEADING rank-4 so the head axis is
+      # dim 0 and can be sharded P('model') — each device's shard is a
+      # contiguous head slice whose local flatten is the kernel's
+      # head-major row order (ops/decode_attention.py decode_attention_tp).
+      spec = P("model", None, None, None)
+      return tuple(
+          {"k": _constrain(jnp.zeros(
+              (cfg.n_kv_heads, batch_size, cfg.head_dim, max_len), dt), spec),
+           "v": _constrain(jnp.zeros(
+              (cfg.n_kv_heads, batch_size, max_len, cfg.head_dim), dt), spec)}
+          for _ in range(cfg.n_layers))
+    rows = batch_size * cfg.n_kv_heads
     return tuple({"k": jnp.zeros((rows, cfg.head_dim, max_len), dt),
                   "v": jnp.zeros((rows, max_len, cfg.head_dim), dt)}
                  for _ in range(cfg.n_layers))
@@ -1013,6 +1076,49 @@ def quantize_lm_params(params, min_size: int = 1 << 12):
     else:
       out[key] = quant_tree(value, False) \
           if isinstance(value, (dict, list)) else quant(value, False)
+  return out
+
+
+def cast_lm_params_for_serving(params, cfg):
+  """One-time cast of matmul weights to the activation dtype for serving.
+
+  Every block matmul weight is consumed through
+  `_maybe_dequant(w, activation_dtype)`, so a jitted single decode step
+  (or the server's per-burst jit) re-converts ~all model weights f32 ->
+  bf16 on EVERY call — ~1.5 ms/call at 234M params on-chip, hoisted only
+  when the whole decode loop lives inside one jit (greedy_generate).
+  Pre-casting those leaves once makes the in-graph cast a no-op and is
+  bit-identical (the same single f32->bf16 rounding happens either way).
+
+  Left untouched: `embed`/`unembed` (also used at f32 for the final
+  logits matmul — casting them would change sampled tokens), the MoE
+  `router` (f32 routing decisions), all 1-D leaves (norm scales), and
+  already-int8 {'qvalue','scale'} dicts.
+  """
+  adt = jnp.dtype(cfg.activation_dtype)
+
+  def cast(path, leaf, stacked):
+    if isinstance(leaf, dict) or not hasattr(leaf, "ndim"):
+      return leaf
+    keys = {getattr(k, "key", None) for k in path}
+    if keys & {"router", "embed", "unembed", "scale"}:
+      return leaf
+    eff_ndim = leaf.ndim - (1 if stacked else 0)  # scan-stacked layer axis
+    if eff_ndim < 2 or not jnp.issubdtype(leaf.dtype, jnp.floating):
+      return leaf
+    return leaf.astype(adt)
+
+  def cast_tree(tree, stacked):
+    return jax.tree_util.tree_map_with_path(
+        lambda p, w: cast(p, w, stacked), tree,
+        is_leaf=lambda x: isinstance(x, dict) and "qvalue" in x)
+
+  out = {}
+  for key, value in params.items():
+    stacked = key == "blocks" and not isinstance(value, list)
+    out[key] = cast_tree(value, stacked) \
+        if isinstance(value, (dict, list, tuple)) \
+        else cast((jax.tree_util.DictKey(key),), value, False)
   return out
 
 

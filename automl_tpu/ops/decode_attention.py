@@ -11,7 +11,11 @@ at full HBM bandwidth.
 Design:
   * operates directly on the rank-3 cache layout the model stores
     (models/lm.py init_cache): k [B*n_kv, hd, S] (sequence on lanes),
-    v [B*n_kv, S, hd];
+    v [B*n_kv, S, hd]; rows are batch-major (r = b*n_kv + h) on a single
+    chip, or head-major (r = h*B + b) for tensor-parallel serving where
+    each device holds a contiguous head slice (decode_attention_tp
+    shard_maps the kernel — GSPMD would all-gather around the opaque
+    custom call otherwise);
   * grid (B*n_heads, S_blocks), S innermost, classic online-softmax
     accumulators in VMEM scratch (same scheme as ops/attention.py
     _fwd_kernel);
@@ -93,13 +97,18 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
 def decode_attention(q, k_cache, v_cache, mask, *, n_kv_heads: int,
                      logit_cap: float = 0.0, block_s: int = 2048,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None,
+                     layout: str = "batch_major"):
   """KV-cached attention on the rank-3 decode cache.
 
   q: [B, T, N, H], already scaled (T = 1 for decode, small for
   speculative chunk verification / prefill-with-cache).
-  k_cache: [B*n_kv, H, S]; v_cache: [B*n_kv, S, H] (models/lm.py
-  init_cache layout). mask: [B, T, S] bool, True = attend.
+  layout="batch_major" (models/lm.py init_cache): cache row r = b*n_kv+h
+  — k_cache [B*n_kv, H, S], v_cache [B*n_kv, S, H].
+  layout="head_major" (tensor-parallel serving, where the head axis is
+  sharded over the mesh and each device holds a contiguous head slice):
+  cache row r = h*B + b.
+  mask: [B, T, S] bool, True = attend.
   Returns [B, T, N, H] (f32 accumulation, cast to q.dtype).
   """
   b, t, n, h = q.shape
@@ -120,12 +129,23 @@ def decode_attention(q, k_cache, v_cache, mask, *, n_kv_heads: int,
   # pad rows are fully masked (l clamps to 1e-30, acc stays 0) and sliced
   # off below — the kernel stays K/V-bandwidth-bound either way.
   t_pad = max(8, -(-t // 8) * 8)
-  qf = q.transpose(0, 2, 1, 3).reshape(b * n, t, h)
+  if layout == "head_major":
+    qf = q.transpose(2, 0, 1, 3).reshape(n * b, t, h)   # row r = h*B + b
+  else:
+    qf = q.transpose(0, 2, 1, 3).reshape(b * n, t, h)   # row r = b*n + h
   qf = jnp.pad(qf, ((0, 0), (0, t_pad - t), (0, 0)))
   mask8 = jnp.pad(mask.astype(jnp.int8), ((0, 0), (0, t_pad - t), (0, 0)))
 
-  def kv_row(r):
-    return (r // n) * n_kv_heads + (r % n) // rep
+  if layout == "head_major":
+    def kv_row(r):
+      return (r // (b * rep)) * b + r % b
+    def mask_row(r):
+      return r % b
+  else:
+    def kv_row(r):
+      return (r // n) * n_kv_heads + (r % n) // rep
+    def mask_row(r):
+      return r // n
 
   out = pl.pallas_call(
       functools.partial(_kernel, block_s=block_s, num_s_blocks=num_s,
@@ -135,7 +155,7 @@ def decode_attention(q, k_cache, v_cache, mask, *, n_kv_heads: int,
           pl.BlockSpec((1, t_pad, h), lambda r, j: (r, 0, 0)),
           pl.BlockSpec((1, h, block_s), lambda r, j: (kv_row(r), 0, j)),
           pl.BlockSpec((1, block_s, h), lambda r, j: (kv_row(r), j, 0)),
-          pl.BlockSpec((1, t_pad, block_s), lambda r, j: (r // n, 0, j)),
+          pl.BlockSpec((1, t_pad, block_s), lambda r, j: (mask_row(r), 0, j)),
       ],
       out_specs=pl.BlockSpec((1, t_pad, h), lambda r, j: (r, 0, 0)),
       out_shape=jax.ShapeDtypeStruct((b * n, t_pad, h), q.dtype),
@@ -147,4 +167,54 @@ def decode_attention(q, k_cache, v_cache, mask, *, n_kv_heads: int,
       interpret=interpret,
   )(qf, k_cache, v_cache, mask8)
   out = out[:, :t]
+  if layout == "head_major":
+    return out.reshape(n, b, t, h).transpose(1, 2, 0, 3)
   return out.reshape(b, n, t, h).transpose(0, 2, 1, 3)
+
+
+def decode_attention_tp(q, k_cache, v_cache, mask, mesh, *, n_kv_heads: int,
+                        logit_cap: float = 0.0, axis: str = "model",
+                        block_s: int = 2048, interpret: bool | None = None):
+  """Tensor-parallel decode attention: heads sharded over a mesh axis.
+
+  GSPMD treats a pallas_call as an opaque custom call and would REPLICATE
+  the KV cache (an all-gather per layer per step); this wrapper shard_maps
+  the kernel so each device attends over only its own head slice — zero
+  decode-time communication (the wo projection's psum is the only
+  collective, inserted by GSPMD outside).
+
+  q: [B, T, N, H] with N sharded over `axis`.
+  k_cache: [n_kv, B, H, S]; v_cache: [n_kv, B, S, H] — HEAD-LEADING
+  rank-4 (models/lm.py init_cache(serve_tp=True)), dim 0 sharded over
+  `axis`. Head-leading keeps each device's shard a contiguous head
+  slice; the local flatten [n_kv_local*B, ...] is then row r = h*B + b
+  (the kernel's "head_major" layout). mask: [B, T, S], replicated.
+  Requires n_heads % m == 0 and n_kv % m == 0 (m = mesh.shape[axis]) so
+  every device's q-head slice maps onto whole local kv heads under GQA.
+  """
+  from jax.sharding import PartitionSpec as P
+  b, t, n, h = q.shape
+  m = mesh.shape[axis]
+  if n % m or n_kv_heads % m:
+    raise ValueError(
+        f"serve_tp: n_heads ({n}) and n_kv_heads ({n_kv_heads}) must be "
+        f"divisible by mesh axis '{axis}' size {m}")
+
+  def local_fn(q_l, k_l, v_l, mask_l):
+    nkv_l = k_l.shape[0]
+    kf = k_l.reshape(nkv_l * b, h, k_l.shape[-1])
+    vf = v_l.reshape(nkv_l * b, v_l.shape[2], h)
+    return decode_attention(q_l, kf, vf, mask_l, n_kv_heads=nkv_l,
+                            logit_cap=logit_cap, block_s=block_s,
+                            interpret=interpret, layout="head_major")
+
+  shard_map = getattr(jax, "shard_map", None)
+  if shard_map is None:  # older jax
+    from jax.experimental.shard_map import shard_map
+  qspec = P(None, None, axis, None)
+  kvspec = P(axis, None, None, None)
+  # check_vma=False: pallas_call's out_shape carries no vma annotation
+  return shard_map(local_fn, mesh=mesh,
+                   in_specs=(qspec, kvspec, kvspec, P()),
+                   out_specs=qspec,
+                   check_vma=False)(q, k_cache, v_cache, mask)

@@ -85,7 +85,8 @@ def test_decode_kernel_under_tp_mesh_token_exact():
   nn.set_policy("float32")
   cfg = lm_defaults()
   cfg.override("model_dim=64,n_layers=2,n_heads=8,n_kv_heads=4,head_dim=16,"
-               "vocab_size=97,seq_len=64,activation_dtype=float32")
+               "vocab_size=97,seq_len=64,activation_dtype=float32,"
+               "decode_kernel_min_s=0")  # force the kernel at tiny S
   model = TransformerLM(cfg)
   params = model.init(jax.random.key(0))
   prompt = jax.random.randint(jax.random.key(1), (2, 8), 0, 97)
@@ -93,3 +94,96 @@ def test_decode_kernel_under_tp_mesh_token_exact():
   with jax.set_mesh(create_mesh((1, 2, 4))):
     out = greedy_generate(model, params, prompt, 8)
   np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_decode_attention_head_major_matches_batch_major():
+  """The head-major layout (tp serving: cache row = h*B + b) must agree
+  with the batch-major layout on permuted-identical inputs, incl. GQA."""
+  b, t, n, n_kv, h, s = 2, 3, 8, 4, 16, 48
+  ks = jax.random.split(jax.random.key(7), 4)
+  q = jax.random.normal(ks[0], (b, t, n, h), jnp.float32)
+  kc = jax.random.normal(ks[1], (b * n_kv, h, s), jnp.float32)   # b-major
+  vc = jax.random.normal(ks[2], (b * n_kv, s, h), jnp.float32)
+  mask = jax.random.bernoulli(ks[3], 0.7, (b, t, s)).at[:, :, 0].set(True)
+  want = decode_attention(q, kc, vc, mask, n_kv_heads=n_kv)
+  # re-order rows b*n_kv + h -> h*B + b
+  kh = kc.reshape(b, n_kv, h, s).transpose(1, 0, 2, 3).reshape(n_kv * b, h, s)
+  vh = vc.reshape(b, n_kv, s, h).transpose(1, 0, 2, 3).reshape(n_kv * b, s, h)
+  got = decode_attention(q, kh, vh, mask, n_kv_heads=n_kv,
+                         layout="head_major")
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=1e-6, rtol=1e-6)
+
+
+def test_decode_attention_tp_matches_single_device():
+  """shard_map'd tp decode attention over the 8-dev CPU mesh ('model'=4)
+  equals the unsharded head-major call."""
+  from automl_tpu.ops.decode_attention import decode_attention_tp
+  from automl_tpu.parallel import create_mesh
+
+  b, t, n, n_kv, h, s = 2, 1, 8, 4, 16, 64
+  ks = jax.random.split(jax.random.key(11), 4)
+  q = jax.random.normal(ks[0], (b, t, n, h), jnp.float32)
+  k4 = jax.random.normal(ks[1], (n_kv, b, h, s), jnp.float32)
+  v4 = jax.random.normal(ks[2], (n_kv, b, s, h), jnp.float32)
+  mask = jax.random.bernoulli(ks[3], 0.6, (b, t, s)).at[:, :, 0].set(True)
+  want = decode_attention(q, k4.reshape(n_kv * b, h, s),
+                          v4.reshape(n_kv * b, s, h), mask,
+                          n_kv_heads=n_kv, layout="head_major")
+  mesh = create_mesh((1, 2, 4))
+  with jax.set_mesh(mesh):
+    got = jax.jit(lambda *a: decode_attention_tp(
+        *a, mesh, n_kv_heads=n_kv))(q, k4, v4, mask)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=1e-6, rtol=1e-6)
+
+
+def test_serve_tp_generation_token_exact():
+  """serve_tp=True (head-leading sharded cache + shard_map'd kernel) under
+  a (1,2,4) mesh with the hero tp PartitionSpecs generates the same
+  tokens as the plain single-device path; also exact with no mesh (local
+  == global)."""
+  from automl_tpu import nn
+  from automl_tpu.models.lm import lm_defaults, TransformerLM, greedy_generate
+  from automl_tpu.parallel import create_mesh
+
+  nn.set_policy("float32")
+  ov = ("model_dim=64,n_layers=2,n_heads=8,n_kv_heads=4,head_dim=16,"
+        "vocab_size=97,seq_len=64,activation_dtype=float32")
+  cfg = lm_defaults(); cfg.override(ov)
+  base = TransformerLM(cfg)
+  params = base.init(jax.random.key(0))
+  prompt = jax.random.randint(jax.random.key(1), (2, 8), 0, 97)
+  ref = greedy_generate(base, params, prompt, 10)
+
+  tp_cfg = lm_defaults(); tp_cfg.override(ov + ",serve_tp=True")
+  tp_model = TransformerLM(tp_cfg)  # default hero tp ShardingConfig
+  out_nomesh = greedy_generate(tp_model, params, prompt, 10)
+  np.testing.assert_array_equal(np.asarray(out_nomesh), np.asarray(ref))
+  with jax.set_mesh(create_mesh((1, 2, 4))):
+    out_tp = greedy_generate(tp_model, params, prompt, 10)
+  np.testing.assert_array_equal(np.asarray(out_tp), np.asarray(ref))
+
+
+def test_decode_kernel_s_gate():
+  """Below decode_kernel_min_s the decode step must trace to the rank-3
+  XLA dots (no pallas_call): the kernel's fixed per-call dispatch loses
+  to the dots at short cache lengths (PERF_NOTES round-3 crossover)."""
+  from automl_tpu.models.lm import lm_defaults, TransformerLM
+
+  ov = ("model_dim=64,n_layers=1,n_heads=4,n_kv_heads=4,head_dim=16,"
+        "vocab_size=97,seq_len=64,activation_dtype=float32")
+
+  def decode_jaxpr(extra=""):
+    cfg = lm_defaults(); cfg.override(ov + extra)
+    model = TransformerLM(cfg)
+    params = model.init(jax.random.key(0))
+    cache = model.init_cache(1, 64)
+    kv_pos = jnp.arange(64)[None]
+    return str(jax.make_jaxpr(
+        lambda p, c, t: model(p, t, positions=jnp.zeros((1, 1), jnp.int32),
+                              cache=c, cache_index=3, kv_positions=kv_pos)
+    )(params, cache, jnp.ones((1, 1), jnp.int32)))
+
+  assert "pallas_call" not in decode_jaxpr()            # 64 < default 768
+  assert "pallas_call" in decode_jaxpr(",decode_kernel_min_s=0")

@@ -133,3 +133,36 @@ def test_vector_cache_index_matches_scalar():
   # b*n_kv..(b+1)*n_kv (4 kv heads in the tiny model)
   assert np.asarray(cache_p[0]["k"][:4, :, t0]).any()      # row 0 wrote
   assert not np.asarray(cache_p[0]["k"][4:8, :, t0]).any()  # row 1 dropped
+
+
+def test_cast_for_serving_is_token_exact_and_selective():
+  """cast_lm_params_for_serving: matmul weights -> bf16, embed / norm
+  scales / int8 dicts untouched, and generation is bit-identical (the
+  same single f32->bf16 rounding happens in-graph when weights stay
+  f32)."""
+  cfg, model, params = _tiny_model()
+  # Nonzero norm scales: zero-init scales are exact in bf16 and would
+  # mask an (incorrect) cast of the f32 norm scales.
+  params = jax.tree_util.tree_map_with_path(
+      lambda p, l: l + 0.37 if jax.tree_util.keystr(p).endswith("'scale']")
+      else l, params)
+  cast = lm_lib.cast_lm_params_for_serving(params, cfg)
+  # embed untouched (also used at f32 by the logits matmul)
+  assert cast["embed"].dtype == params["embed"].dtype == jnp.float32
+  # 1-D norm scales untouched; block matmul weights cast to bf16
+  assert cast["final_norm"]["scale"].dtype == jnp.float32
+  flat = jax.tree_util.tree_leaves_with_path(cast["blocks"])
+  cast_dtypes = {jax.tree_util.keystr(p): l.dtype for p, l in flat}
+  assert any(d == jnp.bfloat16 for d in cast_dtypes.values())
+  for name, d in cast_dtypes.items():
+    if "scale" in name:
+      assert d == jnp.float32, name
+  prompt = jnp.asarray([[5, 9, 23, 2]], jnp.int32)
+  a = greedy_generate(model, params, prompt, 16)
+  b = greedy_generate(model, cast, prompt, 16)
+  np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+  # int8 dicts pass through unchanged
+  q = lm_lib.quantize_lm_params(params)
+  q2 = lm_lib.cast_lm_params_for_serving(q, cfg)
+  qleaves = jax.tree_util.tree_leaves(q2)
+  assert any(l.dtype == jnp.int8 for l in qleaves)

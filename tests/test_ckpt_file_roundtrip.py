@@ -203,9 +203,17 @@ def test_cls_ckpt_file_image_to_top5_golden(tmp_path):
     nn.set_policy("mixed_bfloat16")
 
   assert ours.shape == ref_logits.shape
-  # top-5 as a SET: our host path rounds the canvas to uint8 (the
-  # reference feeds unrounded floats), which can swap near-tied ranks
-  assert (set(np.argsort(-ours[0])[:5].tolist())
-          == set(np.argsort(-ref_logits[0])[:5].tolist()))
+  # Margins, measured: with BN-calibrated RANDOM weights the logit spread
+  # is tiny (rank-5 -> rank-6 gap ~3.5e-3) while the inherent
+  # cross-implementation delta is ~1.6e-2 (our host path rounds the
+  # canvas to uint8; the reference feeds unrounded floats) — so exact
+  # top-5 set equality is noise-sensitive BY CONSTRUCTION here. A wrong
+  # restore (e.g. reading the junk EMA shadows) shifts logits by ~0.5,
+  # 25x the assertion band below — the file-restore correctness this
+  # test exists for stays sharply distinguished.
+  np.testing.assert_allclose(ours[0], ref_logits[0], atol=0.05)
+  top5_ours = set(np.argsort(-ours[0])[:5].tolist())
+  top5_ref = set(np.argsort(-ref_logits[0])[:5].tolist())
+  assert len(top5_ours & top5_ref) >= 4, (top5_ours, top5_ref)
   assert int(np.argmax(ours[0])) in np.argsort(-ref_logits[0])[:2]
   np.testing.assert_allclose(ours, ref_logits, atol=0.05)

@@ -485,6 +485,94 @@ def bench_lm_moe_vs_dense():
   return out
 
 
+def bench_infeed():
+  """Host input-pipeline throughput: native C++ loader vs tf.data.
+
+  CPU-only (no chip): N JPEG records through (a) the fully-native
+  parallel pipeline (reader thread + JPEG worker pool + prefetch ring,
+  native/tfrecord_jpeg.cc), (b) the serial ctypes loader, (c) an
+  equivalent tf.data pipeline (TFRecordDataset -> parse -> decode_jpeg ->
+  resize-pad, parallel map AUTOTUNE). Same file, same 512x512 canvas.
+  North-star context (BASELINE.md): D0 b16 training consumes 349 img/s;
+  this measures what ONE host core sustains (TPU hosts scale this by
+  their core count)."""
+  import io, os, tempfile, time
+  import numpy as np
+  from PIL import Image
+  import tensorflow as tf
+  from automl_tpu.data import native_loader
+
+  rng = np.random.RandomState(0)
+  n_rec, size, canvas = 192, 512, 512
+  tmp = tempfile.mkdtemp()
+  path = os.path.join(tmp, "bench.tfrecord")
+  records = []
+  for i in range(n_rec):
+    # realistic JPEG entropy: smoothed noise
+    img = rng.randint(0, 255, (size // 8, size // 8, 3), np.uint8)
+    img = np.asarray(Image.fromarray(img).resize((size, size)))
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=90)
+    ex = tf.train.Example(features=tf.train.Features(feature={
+        "image/encoded": tf.train.Feature(
+            bytes_list=tf.train.BytesList(value=[buf.getvalue()])),
+        "image/class/label": tf.train.Feature(
+            int64_list=tf.train.Int64List(value=[i % 10])),
+    }))
+    records.append(ex.SerializeToString())
+  with tf.io.TFRecordWriter(path) as w:
+    for r in records:
+      w.write(r)
+
+  def run_native_parallel():
+    loader = native_loader.NativeParallelClassificationLoader(
+        [path], batch_size=16, canvas_size=canvas, num_classes=10,
+        num_workers=4, repeat=False)
+    n = 0
+    for b in loader:
+      n += b["image"].shape[0]
+    return n
+
+  def run_native_serial():
+    loader = native_loader.NativeClassificationLoader(
+        [path], batch_size=16, canvas_size=canvas, num_classes=10,
+        repeat=False)
+    return sum(b["image"].shape[0] for b in loader)
+
+  feat = {"image/encoded": tf.io.FixedLenFeature([], tf.string),
+          "image/class/label": tf.io.FixedLenFeature([], tf.int64)}
+  def run_tfdata():
+    ds = tf.data.TFRecordDataset(path)
+    def mp(rec):
+      ex = tf.io.parse_single_example(rec, feat)
+      img = tf.io.decode_jpeg(ex["image/encoded"], channels=3)
+      img = tf.image.resize_with_crop_or_pad(img, canvas, canvas)
+      return img, ex["image/class/label"]
+    ds = ds.map(mp, num_parallel_calls=tf.data.AUTOTUNE).batch(16) \
+           .prefetch(tf.data.AUTOTUNE)
+    n = 0
+    for img, lab in ds:
+      n += int(img.shape[0])
+    return n
+
+  out = {"metric": "infeed_native_img_per_s", "records": n_rec,
+         "canvas": canvas, "unit": "img/s (1 host core)"}
+  for name, fn in (("native_parallel", run_native_parallel),
+                   ("native_serial", run_native_serial),
+                   ("tfdata", run_tfdata)):
+    fn()  # warm (build lib / autotune)
+    best = 0.0
+    for _ in range(3):
+      t0 = time.perf_counter()
+      n = fn()
+      best = max(best, n / (time.perf_counter() - t0))
+    out[name + "_img_per_s"] = round(best, 1)
+  out["value"] = out["native_parallel_img_per_s"]
+  out["vs_tfdata"] = round(out["native_parallel_img_per_s"]
+                           / out["tfdata_img_per_s"], 2)
+  return out
+
+
 WORKLOADS = {
     "d0_train": bench_d0_train,
     "effnetv2s_train": bench_effnetv2s_train,
@@ -497,6 +585,7 @@ WORKLOADS = {
     "lm_spec_decode": bench_lm_spec_decode,
     "lm_serve": bench_lm_serve,
     "lm_moe": bench_lm_moe_vs_dense,
+    "infeed": bench_infeed,
 }
 
 

@@ -187,3 +187,48 @@ def test_decode_kernel_s_gate():
 
   assert "pallas_call" not in decode_jaxpr()            # 64 < default 768
   assert "pallas_call" in decode_jaxpr(",decode_kernel_min_s=0")
+
+
+def test_serve_tp_error_paths():
+  """serve_tp must fail loudly (not silently misbehave) when heads don't
+  divide the mesh axis or when the dots fallback / vector cache_index is
+  requested."""
+  import pytest
+  from automl_tpu.models.lm import lm_defaults, TransformerLM
+  from automl_tpu.ops.decode_attention import decode_attention_tp
+  from automl_tpu.parallel import create_mesh
+
+  # n_kv=3 not divisible by model-axis 4
+  q = jnp.ones((2, 1, 6, 16))
+  k4 = jnp.ones((3, 2, 16, 32))
+  v4 = jnp.ones((3, 2, 32, 16))
+  mask = jnp.ones((2, 1, 32), bool)
+  mesh = create_mesh((1, 2, 4))
+  with pytest.raises(ValueError, match="divisible"):
+    decode_attention_tp(q, k4, v4, mask, mesh, n_kv_heads=3)
+
+  # serve_tp without the kernel is an explicit error
+  cfg = lm_defaults()
+  cfg.override("model_dim=64,n_layers=1,n_heads=4,n_kv_heads=4,head_dim=16,"
+               "vocab_size=97,seq_len=32,serve_tp=True,"
+               "use_decode_kernel=False,activation_dtype=float32")
+  model = TransformerLM(cfg)
+  params = model.init(jax.random.key(0))
+  cache = model.init_cache(1, 32)
+  with pytest.raises(ValueError, match="use_decode_kernel"):
+    model(params, jnp.ones((1, 1), jnp.int32),
+          positions=jnp.zeros((1, 1), jnp.int32), cache=cache,
+          cache_index=0, kv_positions=jnp.arange(32)[None])
+
+  # vector cache_index (continuous batching) under serve_tp: explicit
+  cfg2 = lm_defaults()
+  cfg2.override("model_dim=64,n_layers=1,n_heads=4,n_kv_heads=4,head_dim=16,"
+                "vocab_size=97,seq_len=32,serve_tp=True,"
+                "activation_dtype=float32")
+  model2 = TransformerLM(cfg2)
+  cache2 = model2.init_cache(2, 32)
+  with pytest.raises(NotImplementedError, match="scalar cache_index"):
+    model2(model2.init(jax.random.key(0)), jnp.ones((2, 1), jnp.int32),
+           positions=jnp.zeros((2, 1), jnp.int32), cache=cache2,
+           cache_index=jnp.asarray([0, 5]),
+           kv_positions=jnp.arange(32)[None])

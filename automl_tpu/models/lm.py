@@ -69,6 +69,13 @@ def lm_defaults() -> Config:
                                   # (~25-40 us x n_layers) outweighs its
                                   # relayout-copy win at short S
                                   # (PERF_NOTES round-3 crossover)
+      serve_sp=False,             # sequence-parallel SERVING: the KV
+                                  # cache sharded over S on 'model', per-
+                                  # shard online-softmax partials merged
+                                  # with pmax/psum (ops/decode_attention.
+                                  # decode_attention_sp). The long-
+                                  # context mode: caches larger than one
+                                  # device's HBM. Beyond the reference.
       serve_tp=False,             # tensor-parallel SERVING: head-leading
                                   # rank-4 cache [n_kv, B, hd, S] sharded
                                   # over 'model', decode attention
@@ -456,6 +463,32 @@ class Attention(Module):
             cache["k"], kr.astype(cache["k"].dtype), (0, 0, cache_index))
         vc = jax.lax.dynamic_update_slice(
             cache["v"], vr.astype(cache["v"].dtype), (0, cache_index, 0))
+      if cfg.get("serve_sp"):
+        # Sequence-parallel serving: cache sharded over S on 'model';
+        # kernel partials merged across shards (decode_attention_sp).
+        # Works with both scalar and per-slot vector cache_index — the
+        # writes above are plain DUS/scatter ops GSPMD partitions over
+        # the sharded S dim.
+        if not cfg.get("use_decode_kernel", True):
+          raise ValueError("serve_sp requires use_decode_kernel=True")
+        if cfg.get("serve_tp"):
+          raise ValueError("serve_sp and serve_tp are mutually exclusive "
+                           "(shard heads OR sequence, not both)")
+        from automl_tpu.ops.decode_attention import (decode_attention,
+                                                     decode_attention_sp)
+        kc = _constrain(kc, P(None, None, "model"))
+        vc = _constrain(vc, P(None, "model", None))
+        new_cache = {"k": kc, "v": vc}
+        cap = cfg.attn_logit_cap or 0.0
+        if _mesh_axis_active("model"):
+          out = decode_attention_sp(
+              q, kc, vc, mask, jax.sharding.get_abstract_mesh(),
+              n_kv_heads=self.n_kv, logit_cap=cap)
+        else:  # no mesh: one shard == the whole sequence
+          out = decode_attention(q, kc, vc, mask, n_kv_heads=self.n_kv,
+                                 logit_cap=cap)
+        out = jnp.einsum("bqnh,dnh->bqd", out.astype(adt), wo)
+        return _constrain(out, sh.activation), new_cache
       new_cache = {"k": kc, "v": vc}
       if cfg.get("use_decode_kernel", True) and \
           kc.shape[-1] >= int(cfg.get("decode_kernel_min_s", 768) or 0):
@@ -917,18 +950,21 @@ class TransformerLM(Module):
 
     if cache is not None:
       if cfg.get("use_ring_attention") and _mesh_axis_active("model") \
-          and not cfg.get("ring_decode_fallback"):
+          and not cfg.get("ring_decode_fallback") \
+          and not cfg.get("serve_sp"):
         # SP serving is NOT silently degraded (r2 verdict missing #6): the
         # KV cache is replicated (not sequence-sharded), so decoding a
         # ring-trained model on a model-axis mesh holds the FULL cache per
         # device — at the long contexts ring attention exists for, that's
         # exactly the memory the sharding was meant to avoid.
         raise NotImplementedError(
-            "use_ring_attention with a KV cache: sequence-parallel decode "
-            "is not supported (the cache would need to be sequence-sharded "
-            "across the 'model' axis). Either decode on a data-parallel "
-            "mesh (model axis = 1), or set ring_decode_fallback=True to "
-            "accept dense-attention decode with a replicated cache.")
+            "use_ring_attention with a KV cache: set serve_sp=True for "
+            "sequence-parallel decode (the cache IS sequence-sharded over "
+            "'model' and per-shard softmax partials are merged — "
+            "ops/decode_attention.py decode_attention_sp). Alternatives: "
+            "decode on a data-parallel mesh (model axis = 1), or set "
+            "ring_decode_fallback=True to accept dense-attention decode "
+            "with a replicated cache.")
       # Decode / prefill-with-cache: ALWAYS unrolled over layers, with a
       # per-layer cache tuple. Scanning over a stacked [L,B,S,n,h] cache
       # forces XLA to copy each layer's 16MB+ KV slice through layout
@@ -1014,6 +1050,16 @@ class TransformerLM(Module):
     the layer dimension — see the layout-copy note in apply()."""
     cfg = self.cfg
     dt = jnp.dtype(cfg.activation_dtype)
+    if cfg.get("serve_sp"):
+      # Sequence-parallel serving: standard rank-3 batch-major layout,
+      # SHARDED OVER S — the per-device slice is what fits in HBM.
+      rows = batch_size * cfg.n_kv_heads
+      return tuple(
+          {"k": _constrain(jnp.zeros((rows, cfg.head_dim, max_len), dt),
+                           P(None, None, "model")),
+           "v": _constrain(jnp.zeros((rows, max_len, cfg.head_dim), dt),
+                           P(None, "model", None))}
+          for _ in range(cfg.n_layers))
     if cfg.get("serve_tp"):
       # Tensor-parallel serving: HEAD-LEADING rank-4 so the head axis is
       # dim 0 and can be sharded P('model') — each device's shard is a

@@ -46,8 +46,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *,
-            block_s, num_s_blocks, s_len, logit_cap):
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *rest, block_s,
+            num_s_blocks, s_len, logit_cap, return_stats=False):
+  if return_stats:  # extra outputs: per-row softmax max + normalizer
+    m_out, l_out, m_scr, l_scr, acc_scr = rest
+  else:
+    m_scr, l_scr, acc_scr = rest
   j = pl.program_id(1)
 
   @pl.when(j == 0)
@@ -93,12 +97,22 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *,
   def _finalize():
     l = jnp.maximum(l_scr[:], 1e-30)
     o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+    if return_stats:
+      # RAW l (no clamp): a fully-masked shard reports l == 0 so its
+      # merge weight vanishes exactly. Broadcast across the h lanes —
+      # a [.., 1] lane-dim output is a Mosaic layout hazard; h-wide is
+      # layout-safe and tiny (S-independent).
+      m_out[0] = jnp.broadcast_to(m_scr[:], m_out.shape[1:]).astype(
+          m_out.dtype)
+      l_out[0] = jnp.broadcast_to(l_scr[:], l_out.shape[1:]).astype(
+          l_out.dtype)
 
 
 def decode_attention(q, k_cache, v_cache, mask, *, n_kv_heads: int,
                      logit_cap: float = 0.0, block_s: int = 2048,
                      interpret: bool | None = None,
-                     layout: str = "batch_major"):
+                     layout: str = "batch_major",
+                     return_stats: bool = False):
   """KV-cached attention on the rank-3 decode cache.
 
   q: [B, T, N, H], already scaled (T = 1 for decode, small for
@@ -147,18 +161,25 @@ def decode_attention(q, k_cache, v_cache, mask, *, n_kv_heads: int,
     def mask_row(r):
       return r // n
 
-  out = pl.pallas_call(
+  row_spec = pl.BlockSpec((1, t_pad, h), lambda r, j: (r, 0, 0))
+  out_specs = [row_spec]
+  out_shape = [jax.ShapeDtypeStruct((b * n, t_pad, h), q.dtype)]
+  if return_stats:
+    out_specs += [row_spec, row_spec]
+    out_shape += [jax.ShapeDtypeStruct((b * n, t_pad, h), jnp.float32)] * 2
+  res = pl.pallas_call(
       functools.partial(_kernel, block_s=block_s, num_s_blocks=num_s,
-                        s_len=s_len, logit_cap=logit_cap),
+                        s_len=s_len, logit_cap=logit_cap,
+                        return_stats=return_stats),
       grid=(b * n, num_s),
       in_specs=[
-          pl.BlockSpec((1, t_pad, h), lambda r, j: (r, 0, 0)),
+          row_spec,
           pl.BlockSpec((1, h, block_s), lambda r, j: (kv_row(r), 0, j)),
           pl.BlockSpec((1, block_s, h), lambda r, j: (kv_row(r), j, 0)),
           pl.BlockSpec((1, t_pad, block_s), lambda r, j: (mask_row(r), 0, j)),
       ],
-      out_specs=pl.BlockSpec((1, t_pad, h), lambda r, j: (r, 0, 0)),
-      out_shape=jax.ShapeDtypeStruct((b * n, t_pad, h), q.dtype),
+      out_specs=out_specs if return_stats else out_specs[0],
+      out_shape=out_shape if return_stats else out_shape[0],
       scratch_shapes=[
           pltpu.VMEM((t_pad, 1), jnp.float32),
           pltpu.VMEM((t_pad, 1), jnp.float32),
@@ -166,10 +187,17 @@ def decode_attention(q, k_cache, v_cache, mask, *, n_kv_heads: int,
       ],
       interpret=interpret,
   )(qf, k_cache, v_cache, mask8)
-  out = out[:, :t]
-  if layout == "head_major":
-    return out.reshape(n, b, t, h).transpose(1, 2, 0, 3)
-  return out.reshape(b, n, t, h).transpose(0, 2, 1, 3)
+
+  def unflatten(x):   # [b*n or n*b, t_pad, ...] -> [B, T, N, ...]
+    x = x[:, :t]
+    if layout == "head_major":
+      return x.reshape(n, b, t, h).transpose(1, 2, 0, 3)
+    return x.reshape(b, n, t, h).transpose(0, 2, 1, 3)
+
+  if return_stats:
+    out, m, l = res
+    return unflatten(out), unflatten(m)[..., 0], unflatten(l)[..., 0]
+  return unflatten(res)
 
 
 def decode_attention_tp(q, k_cache, v_cache, mask, mesh, *, n_kv_heads: int,
@@ -217,4 +245,55 @@ def decode_attention_tp(q, k_cache, v_cache, mask, mesh, *, n_kv_heads: int,
   return shard_map(local_fn, mesh=mesh,
                    in_specs=(qspec, kvspec, kvspec, P()),
                    out_specs=qspec,
+                   check_vma=False)(q, k_cache, v_cache, mask)
+
+
+def decode_attention_sp(q, k_cache, v_cache, mask, mesh, *, n_kv_heads: int,
+                        logit_cap: float = 0.0, axis: str = "model",
+                        block_s: int = 2048, interpret: bool | None = None):
+  """Sequence-parallel decode attention: the KV CACHE is sharded over S.
+
+  The long-context serving mode: when one device cannot hold (or stream)
+  the whole cache, shard it over the sequence dim — k [B*n_kv, hd, S]
+  P(None, None, axis), v [B*n_kv, S, hd] P(None, axis, None), mask
+  [B, T, S] sharded on S; q is replicated (it is tiny at decode).
+  Each device runs the kernel over its local S slice emitting online-
+  softmax partials (out_i, m_i, l_i), merged exactly across the ring:
+
+      m* = pmax(m_i);  w_i = l_i * exp(m_i - m*)
+      out = psum(w_i * out_i) / psum(w_i)
+
+  A fully-masked local shard reports l_i == 0 (raw, unclamped) so its
+  weight vanishes exactly; if every shard is masked the clamped
+  denominator yields zeros, not NaN. This is the decode-side counterpart
+  of ops/ring_attention.py's training-time merge — the reference shards
+  neither (hero/config_lib.py:86-98 never shards seq).
+  """
+  from jax.sharding import PartitionSpec as P
+
+  n_dev = mesh.shape[axis]
+  s = k_cache.shape[-1]
+  s_pad = -(-s // n_dev) * n_dev
+  if s_pad != s:  # pad S to a shard multiple; pad keys are mask=False
+    k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, s_pad - s)))
+    v_cache = jnp.pad(v_cache, ((0, 0), (0, s_pad - s), (0, 0)))
+    mask = jnp.pad(mask, ((0, 0), (0, 0), (0, s_pad - s)))
+
+  def local_fn(q_l, k_l, v_l, mask_l):
+    out, m, l = decode_attention(
+        q_l, k_l, v_l, mask_l, n_kv_heads=n_kv_heads, logit_cap=logit_cap,
+        block_s=block_s, interpret=interpret, return_stats=True)
+    m_star = jax.lax.pmax(m, axis)
+    w = l * jnp.exp(m - m_star)                          # [B, T, N]
+    num = jax.lax.psum(w[..., None] * out.astype(jnp.float32), axis)
+    den = jax.lax.psum(w, axis)
+    return (num / jnp.maximum(den[..., None], 1e-30)).astype(out.dtype)
+
+  shard_map = getattr(jax, "shard_map", None)
+  if shard_map is None:  # older jax
+    from jax.experimental.shard_map import shard_map
+  return shard_map(local_fn, mesh=mesh,
+                   in_specs=(P(), P(None, None, axis), P(None, axis, None),
+                             P(None, None, axis)),
+                   out_specs=P(),
                    check_vma=False)(q, k_cache, v_cache, mask)

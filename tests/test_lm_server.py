@@ -166,3 +166,28 @@ def test_cast_for_serving_is_token_exact_and_selective():
   q2 = lm_lib.cast_lm_params_for_serving(q, cfg)
   qleaves = jax.tree_util.tree_leaves(q2)
   assert any(l.dtype == jnp.int8 for l in qleaves)
+
+
+def test_server_composes_with_serve_sp_mesh():
+  """Continuous batching over a SEQUENCE-SHARDED cache (serve_sp): the
+  slot server's per-slot scatter writes land on the S-sharded dim via
+  GSPMD and decode runs the partial-merge kernel — output must be
+  token-exact vs the plain single-device server."""
+  from automl_tpu.parallel import create_mesh
+
+  cfg, model, params = _tiny_model()
+  reqs = [GenRequest([5, 9, 23], 6), GenRequest([7, 2], 4),
+          GenRequest([11, 3, 1, 4], 5)]
+  plain = LMServer(model, params, max_batch=2, max_seq_len=64, burst=4)
+  want = [r.tokens for r in plain.serve(reqs)]
+
+  sp_cfg = lm_lib.lm_defaults()
+  sp_cfg.update(dict(model_dim=64, n_layers=2, n_heads=4, n_kv_heads=4,
+                     head_dim=16, vocab_size=97, seq_len=256,
+                     use_flash_attention=False, serve_sp=True))
+  sp_model = lm_lib.TransformerLM(sp_cfg,
+                                  lm_lib.ShardingConfig.data_parallel())
+  with jax.set_mesh(create_mesh((1, 2, 4))):
+    srv = LMServer(sp_model, params, max_batch=2, max_seq_len=64, burst=4)
+    got = [r.tokens for r in srv.serve(reqs)]
+  assert got == want, (got, want)

@@ -46,6 +46,16 @@ def parse_args(argv=None):
                       "temperature=0")
   p.add_argument("--n_draft", type=int, default=4,
                  help="drafted tokens per speculative iteration")
+  p.add_argument("--serve_mode", choices=["none", "tp", "sp"],
+                 default="none",
+                 help="sharded serving over a 'model'-axis mesh: tp = "
+                      "heads sharded (serve_tp, sharded head-leading KV "
+                      "cache + shard_map'd decode kernel), sp = sequence-"
+                      "sharded KV cache (serve_sp, long-context partial-"
+                      "merge decode). Pair with --mesh_model.")
+  p.add_argument("--mesh_model", type=int, default=0,
+                 help="'model' mesh-axis size for --serve_mode "
+                      "(0 = all available devices)")
   p.add_argument("--serve_slots", type=int, default=0,
                  help="N > 0: run ALL prompts through the continuous-"
                       "batching server (N decode slots over one KV cache; "
@@ -54,7 +64,8 @@ def parse_args(argv=None):
   return p.parse_args(argv)
 
 
-def load_model(model_dir: str, step=None, int8: bool = False):
+def load_model(model_dir: str, step=None, int8: bool = False,
+               serve_mode: str = "none"):
   """(config, model, params) from a run_lm model_dir."""
   import jax
   import jax.numpy as jnp
@@ -66,7 +77,13 @@ def load_model(model_dir: str, step=None, int8: bool = False):
 
   config = Config({}).update(
       os.path.join(model_dir, "experiment_config.yaml"))
-  model = lm_lib.TransformerLM(config, lm_lib.ShardingConfig.data_parallel())
+  if serve_mode == "tp":    # heads sharded over 'model' (docs/lm.md)
+    config.override(dict(serve_tp=True), allow_new_keys=True)
+  elif serve_mode == "sp":  # sequence-sharded KV cache (long context)
+    config.override(dict(serve_sp=True), allow_new_keys=True)
+  sharding = (lm_lib.ShardingConfig() if serve_mode == "tp"
+              else lm_lib.ShardingConfig.data_parallel())
+  model = lm_lib.TransformerLM(config, sharding)
   shapes = jax.eval_shape(model.init, jax.random.key(0))
   template = jax.tree_util.tree_map(
       lambda s: jnp.zeros(s.shape, s.dtype), shapes)
@@ -88,6 +105,28 @@ def load_model(model_dir: str, step=None, int8: bool = False):
 
 def main(argv=None):
   args = parse_args(argv)
+  import contextlib
+  import jax
+  ctx = contextlib.nullcontext()
+  if args.serve_mode == "tp" and args.serve_slots > 0:
+    raise ValueError("--serve_mode=tp does not compose with --serve_slots "
+                     "(per-slot cache writes need scalar-indexed tp rows); "
+                     "use --serve_mode=sp for a sharded continuous-batching "
+                     "server")
+  if args.serve_mode != "none":
+    # sharded serving: 'model'-axis mesh over the available devices
+    from automl_tpu.parallel import create_mesh
+    n_dev = len(jax.devices())
+    n_model = args.mesh_model or n_dev
+    if n_dev % n_model:
+      raise ValueError(f"--mesh_model {n_model} does not divide the "
+                       f"{n_dev} available devices")
+    ctx = jax.set_mesh(create_mesh((1, n_dev // n_model, n_model)))
+  with ctx:
+    return _run(args)
+
+
+def _run(args):
   import jax
   import jax.numpy as jnp
   import numpy as np
@@ -95,7 +134,8 @@ def main(argv=None):
   from automl_tpu.models.lm import greedy_generate
   from automl_tpu.data import lm_pipeline
 
-  config, model, params = load_model(args.model_dir, args.step, args.int8)
+  config, model, params = load_model(args.model_dir, args.step, args.int8,
+                                     serve_mode=args.serve_mode)
   draft = None
   if args.draft_model_dir:
     from automl_tpu.models.speculative import speculative_generate

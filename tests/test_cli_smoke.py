@@ -124,6 +124,25 @@ def test_generate_lm_cli_end_to_end(tmp_path):
                             "--max_new_tokens", "6", "--serve_slots", "2"])
   assert outs3 == outs
 
+  # sharded serving modes over the 8-dev CPU mesh: token-exact vs plain
+  outs_tp = generate_lm.main(["--model_dir", d, "--prompt", "abcabc",
+                              "--max_new_tokens", "6",
+                              "--serve_mode", "tp", "--mesh_model", "2"])
+  assert outs_tp == outs
+  outs_sp = generate_lm.main(["--model_dir", d, "--prompt", "abcabc",
+                              "--max_new_tokens", "6",
+                              "--serve_mode", "sp", "--mesh_model", "4"])
+  assert outs_sp == outs
+  # sp composes with the slot server; tp + slots is an explicit error
+  outs_sps = generate_lm.main(["--model_dir", d, "--prompt", "abcabc",
+                               "--max_new_tokens", "6", "--serve_slots", "2",
+                               "--serve_mode", "sp", "--mesh_model", "4"])
+  assert outs_sps == outs
+  import pytest
+  with pytest.raises(ValueError, match="serve_slots"):
+    generate_lm.main(["--model_dir", d, "--prompt", "x",
+                      "--serve_mode", "tp", "--serve_slots", "2"])
+
 
 def test_eval_state_template_matches_training_checkpoint(tmp_path):
   """The eval-mode restore template must structurally match what training

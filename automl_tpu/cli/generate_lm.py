@@ -46,6 +46,9 @@ def parse_args(argv=None):
                       "temperature=0")
   p.add_argument("--n_draft", type=int, default=4,
                  help="drafted tokens per speculative iteration")
+  p.add_argument("--logprobs", action="store_true",
+                 help="print each generated token's log-probability "
+                      "(raw-softmax) after the completion")
   p.add_argument("--serve_mode", choices=["none", "tp", "sp"],
                  default="none",
                  help="sharded serving over a 'model'-axis mesh: tp = "
@@ -158,6 +161,8 @@ def _run(args):
       completion = tok.decode(list(res.tokens))
       outputs.append(completion)
       print(f"=== {text!r}\n{completion}")
+      if args.logprobs:
+        print("logprobs:", [round(v, 4) for v in res.logprobs])
     return outputs
   for i, text in enumerate(prompts):
     ids = np.asarray(tok.encode(text), np.int32)[None]
@@ -171,11 +176,17 @@ def _run(args):
           args.max_new_tokens, n_draft=args.n_draft, **common)
     else:
       out = greedy_generate(model, params, jnp.asarray(ids),
-                            args.max_new_tokens, **common)
+                            args.max_new_tokens,
+                            return_logprobs=args.logprobs, **common)
+    lps = None
+    if args.logprobs and not isinstance(out, jax.Array):
+      out, lps = out
     new_ids = np.asarray(out)[0, ids.shape[1]:]
     completion = tok.decode([int(t) for t in new_ids])
     outputs.append(completion)
     print(f"=== {text!r}\n{completion}")
+    if lps is not None:
+      print("logprobs:", [round(float(v), 4) for v in np.asarray(lps)[0]])
   return outputs
 
 

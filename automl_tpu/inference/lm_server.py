@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from automl_tpu.models.lm import sample_logits
+from automl_tpu.models.lm import chosen_logprob, sample_logits
 
 
 @dataclasses.dataclass
@@ -53,6 +53,7 @@ class GenResult:
   tokens: list          # generated ids, EOS included when hit
   prompt_len: int
   finished_by_eos: bool
+  logprobs: list = None  # per generated token: log p under the raw softmax
 
 
 class LMServer:
@@ -132,7 +133,8 @@ class LMServer:
     lengths:  [B] tokens currently in each slot's cache row.
     active:   [B] bool; inactive rows emit 0 and park writes at index S.
     remaining:[B] decode budget left per row.
-    Returns (cache, toks [B, burst], lengths, active, remaining, rng).
+    Returns (cache, toks [B, burst], logprobs [B, burst], lengths,
+    active, remaining, rng).
     """
     kv_pos = jnp.broadcast_to(jnp.arange(self.S)[None], (self.B, self.S))
 
@@ -147,17 +149,19 @@ class LMServer:
       nxt = sample_logits(sub, logits[:, 0], self.temperature,
                           self.top_k, self.top_p)
       nxt = jnp.where(active, nxt, 0).astype(jnp.int32)
-      lengths = lengths + active
+      lp = chosen_logprob(logits[:, 0], nxt)  # junk on inactive rows;
+      lengths = lengths + active              # the host slices by emitted
       remaining = remaining - active
       still = active & (remaining > 0)
       if self.eos_id is not None:
         still = still & (nxt != self.eos_id)
-      return (cache, nxt, lengths, still, remaining, rng), nxt
+      return (cache, nxt, lengths, still, remaining, rng), (nxt, lp)
 
-    (cache, last_tok, lengths, active, remaining, rng), toks = jax.lax.scan(
-        step, (cache, last_tok, lengths, active, remaining, rng),
-        None, length=self.burst)
-    return cache, toks.T, lengths, active, remaining, rng
+    (cache, last_tok, lengths, active, remaining, rng), (toks, lps) = \
+        jax.lax.scan(
+            step, (cache, last_tok, lengths, active, remaining, rng),
+            None, length=self.burst)
+    return cache, toks.T, lps.T, lengths, active, remaining, rng
 
   # -- serve loop ------------------------------------------------------------
 
@@ -167,6 +171,7 @@ class LMServer:
     queue = collections.deque(enumerate(requests))
     results: list[Optional[GenResult]] = [None] * len(requests)
     outputs: list[list[int]] = [[] for _ in requests]
+    outlps: list[list[float]] = [[] for _ in requests]
 
     cache = self.model.init_cache(B, S)
     lengths = jnp.zeros((B,), jnp.int32)
@@ -181,7 +186,8 @@ class LMServer:
       by_eos = (self.eos_id is not None and len(toks) > 0
                 and toks[-1] == self.eos_id)
       results[ridx] = GenResult(tokens=toks, finished_by_eos=by_eos,
-                                prompt_len=len(requests[ridx].prompt))
+                                prompt_len=len(requests[ridx].prompt),
+                                logprobs=outlps[ridx])
 
     while queue or any(r is not None for r in slot_req):
       active_np = np.asarray(active)
@@ -202,10 +208,12 @@ class LMServer:
         cache, last_logits = self._prefill_fn(bucket)(
             self.params, cache, jnp.asarray(padded), b, lp)
         self._rng, sub = jax.random.split(self._rng)
-        first = sample_logits(sub, last_logits[None], self.temperature,
-                              self.top_k, self.top_p)
-        first = int(first[0])
+        first_arr = sample_logits(sub, last_logits[None], self.temperature,
+                                  self.top_k, self.top_p)
+        first = int(first_arr[0])
         outputs[ridx].append(first)
+        outlps[ridx].append(float(
+            chosen_logprob(last_logits[None], first_arr)[0]))
         done = (req.max_new_tokens <= 1
                 or (self.eos_id is not None and first == self.eos_id))
         if done:
@@ -221,10 +229,11 @@ class LMServer:
       if not active_np.any():
         continue
       prev_remaining = np.asarray(remaining)
-      cache, toks, lengths, active, remaining, self._rng = self._decode(
-          self.params, cache, last_tok, lengths, active, remaining,
-          self._rng)
+      cache, toks, lps, lengths, active, remaining, self._rng = \
+          self._decode(self.params, cache, last_tok, lengths, active,
+                       remaining, self._rng)
       toks_np = np.asarray(toks)
+      lps_np = np.asarray(lps)
       new_remaining = np.asarray(remaining)
       active_after = np.asarray(active)
       emitted = prev_remaining - new_remaining  # per-row tokens this burst
@@ -237,6 +246,7 @@ class LMServer:
           continue
         n = int(emitted[b])
         outputs[ridx].extend(int(t) for t in toks_np[b, :n])
+        outlps[ridx].extend(float(v) for v in lps_np[b, :n])
         if n > 0:
           fixed_last[b] = toks_np[b, n - 1]
         if not active_after[b]:

@@ -1242,13 +1242,23 @@ def sample_logits(rng, logits, temperature=1.0, top_k: int = 0,
   return jax.random.categorical(rng, logits, axis=-1)
 
 
+def chosen_logprob(logits, tok):
+  """log softmax(logits)[tok] per row: [B, V], [B] -> [B] float32."""
+  lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+  return jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
+
+
 def greedy_generate(model: TransformerLM, params, prompt_tokens,
                     max_new_tokens: int, rng=None, temperature: float = 0.0,
                     top_k: int = 0, top_p: float = 0.0,
-                    eos_id: Optional[int] = None):
+                    eos_id: Optional[int] = None,
+                    return_logprobs: bool = False):
   """Prefill then lax.while-style decode with in-place KV cache.
 
-  prompt_tokens: [B, T_prompt]. Returns [B, T_prompt + max_new_tokens].
+  prompt_tokens: [B, T_prompt]. Returns [B, T_prompt + max_new_tokens];
+  with return_logprobs=True, (tokens, logprobs [B, max_new_tokens]) —
+  the chosen token's log-probability under the FULL raw-logits softmax
+  (pre-temperature/top-k truncation; finished rows report 0.0).
 
   eos_id: optional end-of-sequence token — decoding runs as a
   lax.while_loop that exits as soon as EVERY row has emitted eos_id
@@ -1270,12 +1280,15 @@ def greedy_generate(model: TransformerLM, params, prompt_tokens,
   tokens = jnp.zeros((b, total), jnp.int32)
   tokens = tokens.at[:, :t0].set(prompt_tokens)
   tokens = tokens.at[:, t0].set(next_tok)
+  lps = jnp.zeros((b, max_new_tokens), jnp.float32)
+  if return_logprobs:
+    lps = lps.at[:, 0].set(chosen_logprob(logits[:, t0 - 1], next_tok))
 
   kv_pos = jnp.broadcast_to(jnp.arange(total)[None], (b, total))
   done0 = (jnp.full((b,), False) if eos_id is None
            else next_tok == eos_id)
 
-  def step(i, tokens, cache, rng, done):
+  def step(i, tokens, cache, rng, done, lps):
     rng, sub = jax.random.split(rng)
     cur = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))
     pos = jnp.full((b, 1), i, jnp.int32)
@@ -1284,27 +1297,34 @@ def greedy_generate(model: TransformerLM, params, prompt_tokens,
     nxt = sample_logits(sub, logits[:, 0], temperature, top_k, top_p)
     if eos_id is not None:
       nxt = jnp.where(done, 0, nxt)          # finished rows emit pad
+    if return_logprobs:
+      lp = chosen_logprob(logits[:, 0], nxt)
+      if eos_id is not None:
+        lp = jnp.where(done, 0.0, lp)
+      lps = jax.lax.dynamic_update_slice(lps, lp[:, None], (0, i + 1 - t0))
+    if eos_id is not None:
       done = done | (nxt == eos_id)
     tokens = jax.lax.dynamic_update_slice(
         tokens, nxt[:, None].astype(jnp.int32), (0, i + 1))
-    return tokens, cache, rng, done
+    return tokens, cache, rng, done, lps
 
   if eos_id is None:
     def body(i, state):
-      tokens, cache, rng, done = state
-      return step(i, tokens, cache, rng, done)
-    tokens, cache, _, _ = jax.lax.fori_loop(t0, total - 1, body,
-                                            (tokens, cache, rng, done0))
+      return step(i, *state)
+    tokens, cache, _, _, lps = jax.lax.fori_loop(
+        t0, total - 1, body, (tokens, cache, rng, done0, lps))
   else:
     def cond(state):
-      i, _, _, _, done = state
+      i, _, _, _, done, _ = state
       return (i < total - 1) & ~jnp.all(done)
 
     def body(state):
-      i, tokens, cache, rng, done = state
-      tokens, cache, rng, done = step(i, tokens, cache, rng, done)
-      return i + 1, tokens, cache, rng, done
+      i, tokens, cache, rng, done, lps = state
+      tokens, cache, rng, done, lps = step(i, tokens, cache, rng, done, lps)
+      return i + 1, tokens, cache, rng, done, lps
 
-    _, tokens, cache, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(t0), tokens, cache, rng, done0))
+    _, tokens, cache, _, _, lps = jax.lax.while_loop(
+        cond, body, (jnp.asarray(t0), tokens, cache, rng, done0, lps))
+  if return_logprobs:
+    return tokens, lps
   return tokens

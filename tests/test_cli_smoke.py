@@ -143,6 +143,15 @@ def test_generate_lm_cli_end_to_end(tmp_path):
     generate_lm.main(["--model_dir", d, "--prompt", "x",
                       "--serve_mode", "tp", "--serve_slots", "2"])
 
+  # --logprobs prints without changing the completion (both paths)
+  outs_lp = generate_lm.main(["--model_dir", d, "--prompt", "abcabc",
+                              "--max_new_tokens", "6", "--logprobs"])
+  assert outs_lp == outs
+  outs_lp2 = generate_lm.main(["--model_dir", d, "--prompt", "abcabc",
+                               "--max_new_tokens", "6", "--logprobs",
+                               "--serve_slots", "2"])
+  assert outs_lp2 == outs
+
 
 def test_eval_state_template_matches_training_checkpoint(tmp_path):
   """The eval-mode restore template must structurally match what training

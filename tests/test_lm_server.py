@@ -191,3 +191,34 @@ def test_server_composes_with_serve_sp_mesh():
     srv = LMServer(sp_model, params, max_batch=2, max_seq_len=64, burst=4)
     got = [r.tokens for r in srv.serve(reqs)]
   assert got == want, (got, want)
+
+
+def test_generation_logprobs_match_teacher_forcing():
+  """return_logprobs: each generated token's logprob equals the
+  log-softmax of a separate teacher-forced full forward at that
+  position; the server reports the same values per request."""
+  # f32 activations: the cached-decode and teacher-forced forwards agree
+  # to float tolerance (bf16 puts ~3e-3 of noise between them)
+  cfg = lm_lib.lm_defaults()
+  cfg.update(dict(model_dim=64, n_layers=2, n_heads=4, n_kv_heads=4,
+                  head_dim=16, vocab_size=97, seq_len=256,
+                  use_flash_attention=False, activation_dtype="float32"))
+  model = lm_lib.TransformerLM(cfg, lm_lib.ShardingConfig.data_parallel())
+  params = jax.jit(model.init)(jax.random.key(0))
+  prompt = [5, 9, 23, 2]
+  toks, lps = greedy_generate(model, params,
+                              jnp.asarray(prompt, jnp.int32)[None], 6,
+                              return_logprobs=True)
+  toks, lps = np.asarray(toks), np.asarray(lps)
+  # teacher-forced oracle: one full forward over the whole sequence
+  full_logits, _ = model(params, jnp.asarray(toks))
+  lsm = jax.nn.log_softmax(np.asarray(full_logits, np.float32), axis=-1)
+  t0 = len(prompt)
+  for j in range(6):
+    want = lsm[0, t0 - 1 + j, toks[0, t0 + j]]
+    np.testing.assert_allclose(lps[0, j], want, atol=2e-4)
+
+  srv = LMServer(model, params, max_batch=2, max_seq_len=64, burst=4)
+  res = srv.serve([GenRequest(prompt, 6)])[0]
+  assert res.tokens == [int(t) for t in toks[0, t0:]]
+  np.testing.assert_allclose(res.logprobs, lps[0, :6], atol=2e-4)

@@ -46,6 +46,11 @@ def parse_args(argv=None):
                       "temperature=0")
   p.add_argument("--n_draft", type=int, default=4,
                  help="drafted tokens per speculative iteration")
+  p.add_argument("--stop", action="append", default=None,
+                 help="stop text (repeatable): generation ends as soon as "
+                      "the output ends with any stop's token sequence "
+                      "(multi-token analog of --stop_at_eos; the matched "
+                      "stop stays in the output)")
   p.add_argument("--logprobs", action="store_true",
                  help="print each generated token's log-probability "
                       "(raw-softmax) after the completion")
@@ -148,6 +153,7 @@ def _run(args):
 
   prompts = ([args.prompt] if args.prompt is not None
              else [ln.rstrip("\n") for ln in sys.stdin if ln.strip()])
+  stops = ([list(tok.encode(t)) for t in args.stop] if args.stop else None)
   outputs = []
   if args.serve_slots > 0:
     from automl_tpu.inference.lm_server import GenRequest, LMServer
@@ -155,7 +161,8 @@ def _run(args):
         model, params, max_batch=args.serve_slots,
         max_seq_len=int(config.seq_len), temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p, seed=args.seed,
-        eos_id=(lm_pipeline.EOS_ID if args.stop_at_eos else None))
+        eos_id=(lm_pipeline.EOS_ID if args.stop_at_eos else None),
+        stop_sequences=stops)
     reqs = [GenRequest(tok.encode(t), args.max_new_tokens) for t in prompts]
     for text, res in zip(prompts, server.serve(reqs)):
       completion = tok.decode(list(res.tokens))
@@ -176,13 +183,17 @@ def _run(args):
           args.max_new_tokens, n_draft=args.n_draft, **common)
     else:
       out = greedy_generate(model, params, jnp.asarray(ids),
-                            args.max_new_tokens,
+                            args.max_new_tokens, stop_sequences=stops,
                             return_logprobs=args.logprobs, **common)
     lps = None
     if args.logprobs and not isinstance(out, jax.Array):
       out, lps = out
-    new_ids = np.asarray(out)[0, ids.shape[1]:]
-    completion = tok.decode([int(t) for t in new_ids])
+    new_ids = [int(t) for t in np.asarray(out)[0, ids.shape[1]:]]
+    if args.stop_at_eos or stops:
+      # early-exited rows emit pad (0) for the remaining positions
+      while new_ids and new_ids[-1] == 0:
+        new_ids.pop()
+    completion = tok.decode(new_ids)
     outputs.append(completion)
     print(f"=== {text!r}\n{completion}")
     if lps is not None:

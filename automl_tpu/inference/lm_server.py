@@ -38,7 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from automl_tpu.models.lm import chosen_logprob, sample_logits
+from automl_tpu.models.lm import (_pack_stops, chosen_logprob,
+                                  sample_logits)
 
 
 @dataclasses.dataclass
@@ -54,6 +55,7 @@ class GenResult:
   prompt_len: int
   finished_by_eos: bool
   logprobs: list = None  # per generated token: log p under the raw softmax
+  finished_by_stop: bool = False  # ended by a server stop_sequence
 
 
 class LMServer:
@@ -63,7 +65,7 @@ class LMServer:
                max_seq_len: int = 2048, temperature: float = 0.0,
                top_k: int = 0, top_p: float = 0.0,
                eos_id: Optional[int] = None, burst: int = 8, seed: int = 0,
-               cast_weights: bool = True):
+               cast_weights: bool = True, stop_sequences=None):
     from automl_tpu.models.lm import cast_lm_params_for_serving
     if cast_weights and getattr(model, "cfg", None) is not None:
       # One-time f32 -> activation-dtype cast of the matmul weights:
@@ -75,6 +77,12 @@ class LMServer:
     self.B, self.S = int(max_batch), int(max_seq_len)
     self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
     self.eos_id = eos_id
+    # multi-token stop sequences (token-id lists): a slot finishes as
+    # soon as its output ends with one (matched inside the jitted burst
+    # via a rolling [B, K] window; the stop stays in the output like EOS)
+    self.stop_seqs = [list(map(int, s)) for s in (stop_sequences or [])]
+    self._stops = _pack_stops(self.stop_seqs) if self.stop_seqs else None
+    self._stop_k = int(self._stops.shape[1]) if self.stop_seqs else 1
     self.burst = int(burst)
     self._rng = jax.random.key(seed)
     self._decode = jax.jit(self._decode_burst)
@@ -126,7 +134,7 @@ class LMServer:
   # -- decode ----------------------------------------------------------------
 
   def _decode_burst(self, params, cache, last_tok, lengths, active,
-                    remaining, rng):
+                    remaining, rng, win):
     """`burst` decode steps for all slots at once.
 
     last_tok: [B] most recent token per slot (KV not yet written).
@@ -139,7 +147,7 @@ class LMServer:
     kv_pos = jnp.broadcast_to(jnp.arange(self.S)[None], (self.B, self.S))
 
     def step(carry, _):
-      cache, tok, lengths, active, remaining, rng = carry
+      cache, tok, lengths, active, remaining, rng, win = carry
       rng, sub = jax.random.split(rng)
       pos = lengths[:, None].astype(jnp.int32)
       write_idx = jnp.where(active, lengths, self.S)
@@ -155,13 +163,18 @@ class LMServer:
       still = active & (remaining > 0)
       if self.eos_id is not None:
         still = still & (nxt != self.eos_id)
-      return (cache, nxt, lengths, still, remaining, rng), (nxt, lp)
+      win = jnp.concatenate([win[:, 1:], nxt[:, None]], axis=1)
+      if self._stops is not None:
+        eq = (self._stops[None] == win[:, None, :]) | (self._stops[None] < 0)
+        hit = jnp.all(eq, axis=-1).any(axis=-1)        # [B]
+        still = still & ~(hit & active)
+      return (cache, nxt, lengths, still, remaining, rng, win), (nxt, lp)
 
-    (cache, last_tok, lengths, active, remaining, rng), (toks, lps) = \
+    (cache, last_tok, lengths, active, remaining, rng, win), (toks, lps) = \
         jax.lax.scan(
-            step, (cache, last_tok, lengths, active, remaining, rng),
+            step, (cache, last_tok, lengths, active, remaining, rng, win),
             None, length=self.burst)
-    return cache, toks.T, lps.T, lengths, active, remaining, rng
+    return cache, toks.T, lps.T, lengths, active, remaining, rng, win
 
   # -- serve loop ------------------------------------------------------------
 
@@ -174,6 +187,7 @@ class LMServer:
     outlps: list[list[float]] = [[] for _ in requests]
 
     cache = self.model.init_cache(B, S)
+    win = jnp.full((B, self._stop_k), -2, jnp.int32)  # -2 never matches
     lengths = jnp.zeros((B,), jnp.int32)
     last_tok = jnp.zeros((B,), jnp.int32)
     active = jnp.zeros((B,), bool)
@@ -185,9 +199,13 @@ class LMServer:
       toks = outputs[ridx]
       by_eos = (self.eos_id is not None and len(toks) > 0
                 and toks[-1] == self.eos_id)
+      seq = [int(t) for t in requests[ridx].prompt] + toks
+      by_stop = any(len(seq) >= len(ss) and seq[-len(ss):] == ss
+                    for ss in self.stop_seqs)
       results[ridx] = GenResult(tokens=toks, finished_by_eos=by_eos,
                                 prompt_len=len(requests[ridx].prompt),
-                                logprobs=outlps[ridx])
+                                logprobs=outlps[ridx],
+                                finished_by_stop=by_stop)
 
     while queue or any(r is not None for r in slot_req):
       active_np = np.asarray(active)
@@ -214,11 +232,15 @@ class LMServer:
         outputs[ridx].append(first)
         outlps[ridx].append(float(
             chosen_logprob(last_logits[None], first_arr)[0]))
-        done = (req.max_new_tokens <= 1
+        tail = (list(prompt.tolist()) + [first])[-self._stop_k:]
+        hit_stop = any(len(t2 := (list(prompt.tolist()) + [first])) >= len(ss)
+                       and t2[-len(ss):] == ss for ss in self.stop_seqs)
+        done = (req.max_new_tokens <= 1 or hit_stop
                 or (self.eos_id is not None and first == self.eos_id))
         if done:
           finalize(ridx)
           continue
+        win = win.at[b].set([-2] * (self._stop_k - len(tail)) + tail)
         slot_req[b] = ridx
         lengths = lengths.at[b].set(lp)
         last_tok = last_tok.at[b].set(first)
@@ -229,9 +251,9 @@ class LMServer:
       if not active_np.any():
         continue
       prev_remaining = np.asarray(remaining)
-      cache, toks, lps, lengths, active, remaining, self._rng = \
+      cache, toks, lps, lengths, active, remaining, self._rng, win = \
           self._decode(self.params, cache, last_tok, lengths, active,
-                       remaining, self._rng)
+                       remaining, self._rng, win)
       toks_np = np.asarray(toks)
       lps_np = np.asarray(lps)
       new_remaining = np.asarray(remaining)

@@ -1248,11 +1248,33 @@ def chosen_logprob(logits, tok):
   return jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
 
 
+def _match_stops(tokens, i_next, stops):
+  """[B] bool: does tokens[:, :i_next] end with any stop sequence?
+
+  stops: [N, K] int32, LEFT-padded with -1 (wildcard). Matching only
+  activates once i_next >= K (a clamped dynamic_slice would otherwise
+  compare a shifted window)."""
+  b = tokens.shape[0]
+  n, k = stops.shape
+  start = jnp.maximum(i_next - k, 0)
+  window = jax.lax.dynamic_slice(tokens, (0, start), (b, k))  # [B, K]
+  eq = (stops[None, :, :] == window[:, None, :]) | (stops[None] < 0)
+  return jnp.all(eq, axis=-1).any(axis=-1) & (i_next >= k)
+
+
+def _pack_stops(stop_sequences):
+  """list of token-id lists -> [N, K] int32, left-padded with -1."""
+  k = max(len(s) for s in stop_sequences)
+  return jnp.asarray([[-1] * (k - len(s)) + list(s)
+                      for s in stop_sequences], jnp.int32)
+
+
 def greedy_generate(model: TransformerLM, params, prompt_tokens,
                     max_new_tokens: int, rng=None, temperature: float = 0.0,
                     top_k: int = 0, top_p: float = 0.0,
                     eos_id: Optional[int] = None,
-                    return_logprobs: bool = False):
+                    return_logprobs: bool = False,
+                    stop_sequences=None):
   """Prefill then lax.while-style decode with in-place KV cache.
 
   prompt_tokens: [B, T_prompt]. Returns [B, T_prompt + max_new_tokens];
@@ -1265,9 +1287,16 @@ def greedy_generate(model: TransformerLM, params, prompt_tokens,
   (hero sample_decode/continue_decode semantics,
   ref: hero/model_lib.py:2268-2394); finished rows emit pad (0) for the
   remaining positions. Without eos_id the loop is a fixed fori_loop.
+
+  stop_sequences: optional list of token-id lists — a row finishes as
+  soon as its output ENDS WITH any of them (multi-token analog of
+  eos_id; the matched stop stays in the output, matching the eos
+  semantics). Uses the early-exit while_loop like eos_id.
   """
   b, t0 = prompt_tokens.shape
   total = t0 + max_new_tokens
+  stops = _pack_stops(stop_sequences) if stop_sequences else None
+  early_exit = eos_id is not None or stops is not None
   cache = model.init_cache(b, total)
   positions = jnp.broadcast_to(jnp.arange(t0)[None], (b, t0))
   logits, cache = model(params, prompt_tokens, positions=positions,
@@ -1285,8 +1314,11 @@ def greedy_generate(model: TransformerLM, params, prompt_tokens,
     lps = lps.at[:, 0].set(chosen_logprob(logits[:, t0 - 1], next_tok))
 
   kv_pos = jnp.broadcast_to(jnp.arange(total)[None], (b, total))
-  done0 = (jnp.full((b,), False) if eos_id is None
-           else next_tok == eos_id)
+  done0 = jnp.full((b,), False)
+  if eos_id is not None:
+    done0 = done0 | (next_tok == eos_id)
+  if stops is not None:
+    done0 = done0 | _match_stops(tokens, t0 + 1, stops)
 
   def step(i, tokens, cache, rng, done, lps):
     rng, sub = jax.random.split(rng)
@@ -1295,20 +1327,22 @@ def greedy_generate(model: TransformerLM, params, prompt_tokens,
     logits, cache = model(params, cur, positions=pos, cache=cache,
                           cache_index=i, kv_positions=kv_pos)
     nxt = sample_logits(sub, logits[:, 0], temperature, top_k, top_p)
-    if eos_id is not None:
+    if early_exit:
       nxt = jnp.where(done, 0, nxt)          # finished rows emit pad
     if return_logprobs:
       lp = chosen_logprob(logits[:, 0], nxt)
-      if eos_id is not None:
+      if early_exit:
         lp = jnp.where(done, 0.0, lp)
       lps = jax.lax.dynamic_update_slice(lps, lp[:, None], (0, i + 1 - t0))
-    if eos_id is not None:
-      done = done | (nxt == eos_id)
     tokens = jax.lax.dynamic_update_slice(
         tokens, nxt[:, None].astype(jnp.int32), (0, i + 1))
+    if eos_id is not None:
+      done = done | (nxt == eos_id)
+    if stops is not None:
+      done = done | _match_stops(tokens, i + 2, stops)
     return tokens, cache, rng, done, lps
 
-  if eos_id is None:
+  if not early_exit:
     def body(i, state):
       return step(i, *state)
     tokens, cache, _, _, lps = jax.lax.fori_loop(

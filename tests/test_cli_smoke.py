@@ -143,6 +143,17 @@ def test_generate_lm_cli_end_to_end(tmp_path):
     generate_lm.main(["--model_dir", d, "--prompt", "x",
                       "--serve_mode", "tp", "--serve_slots", "2"])
 
+  # --stop: byte-tokenizer stop text truncates both paths identically
+  outs_stop = generate_lm.main(["--model_dir", d, "--prompt", "abcabc",
+                                "--max_new_tokens", "6",
+                                "--stop", outs[0][:2]])
+  outs_stop2 = generate_lm.main(["--model_dir", d, "--prompt", "abcabc",
+                                 "--max_new_tokens", "6",
+                                 "--stop", outs[0][:2],
+                                 "--serve_slots", "2"])
+  assert outs_stop == outs_stop2
+  assert outs[0].startswith(outs_stop[0].rstrip("\x00"))
+
   # --logprobs prints without changing the completion (both paths)
   outs_lp = generate_lm.main(["--model_dir", d, "--prompt", "abcabc",
                               "--max_new_tokens", "6", "--logprobs"])

@@ -222,3 +222,54 @@ def test_generation_logprobs_match_teacher_forcing():
   res = srv.serve([GenRequest(prompt, 6)])[0]
   assert res.tokens == [int(t) for t in toks[0, t0:]]
   np.testing.assert_allclose(res.logprobs, lps[0, :6], atol=2e-4)
+
+
+def test_stop_sequences_greedy_and_server():
+  """Multi-token stop sequences end generation exactly at the matched
+  suffix in both greedy_generate and the slot server (including a match
+  spanning a burst boundary), with pad after and finished_by_stop set."""
+  cfg, model, params = _tiny_model()
+  prompt = [5, 9, 23, 2]
+  base = np.asarray(greedy_generate(
+      model, params, jnp.asarray(prompt, jnp.int32)[None], 12))
+  t0 = len(prompt)
+  gen = [int(t) for t in base[0, t0:]]
+  stop = gen[2:4]
+
+  # earliest suffix match over prompt+gen (a stop may span the prompt
+  # boundary — e.g. this tiny model decodes into a constant fixed point)
+  seq = prompt + gen
+  j = next(jj for jj in range(len(gen))
+           if seq[:t0 + jj + 1][-len(stop):] == stop)
+  want = gen[:j + 1]
+
+  out = np.asarray(greedy_generate(
+      model, params, jnp.asarray(prompt, jnp.int32)[None], 12,
+      stop_sequences=[stop]))
+  assert [int(t) for t in out[0, t0:t0 + j + 1]] == want
+  assert not out[0, t0 + j + 1:].any()      # pad after the stop
+
+  srv = LMServer(model, params, max_batch=2, max_seq_len=64, burst=3,
+                 stop_sequences=[stop])
+  res = srv.serve([GenRequest(prompt, 12)])
+  assert res[0].tokens == want
+  assert res[0].finished_by_stop
+
+  # genuine MID-BURST multi-token match: force tokens 40, 41 at query
+  # positions 9, 10 -> the pair lands at generated indices 6, 7 (burst=3:
+  # inside the third burst); the model otherwise never emits 40/41
+  forced = _EosAtPosition(_EosAtPosition(model, 40, at_pos=9), 41,
+                          at_pos=10)
+  want_f = _reference_tokens(forced, params, prompt, 12)
+  srv2 = LMServer(forced, params, max_batch=1, max_seq_len=64, burst=3,
+                  stop_sequences=[[40, 41]])
+  res2 = srv2.serve([GenRequest(prompt, 12)])
+  assert want_f[6:8] == [40, 41]
+  assert res2[0].tokens == want_f[:8]
+  assert res2[0].finished_by_stop and not res2[0].finished_by_eos
+
+  # a stop that never occurs changes nothing
+  out2 = np.asarray(greedy_generate(
+      model, params, jnp.asarray(prompt, jnp.int32)[None], 12,
+      stop_sequences=[[96, 96, 96]]))
+  np.testing.assert_array_equal(out2, base)

@@ -1264,6 +1264,8 @@ def _match_stops(tokens, i_next, stops):
 
 def _pack_stops(stop_sequences):
   """list of token-id lists -> [N, K] int32, left-padded with -1."""
+  if any(len(s) == 0 for s in stop_sequences):
+    raise ValueError("empty stop sequence (would match every suffix)")
   k = max(len(s) for s in stop_sequences)
   return jnp.asarray([[-1] * (k - len(s)) + list(s)
                       for s in stop_sequences], jnp.int32)

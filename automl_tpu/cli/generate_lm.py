@@ -146,6 +146,10 @@ def _run(args):
                                      serve_mode=args.serve_mode)
   draft = None
   if args.draft_model_dir:
+    if args.stop or args.logprobs:
+      raise ValueError("--stop/--logprobs are not supported with "
+                       "--draft_model_dir (speculative decoding verifies "
+                       "whole chunks); drop one or the other")
     from automl_tpu.models.speculative import speculative_generate
     draft = load_model(args.draft_model_dir, None, args.int8)
   tok = (ByteTokenizer() if args.tokenizer == "byte"
@@ -162,7 +166,7 @@ def _run(args):
         max_seq_len=int(config.seq_len), temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p, seed=args.seed,
         eos_id=(lm_pipeline.EOS_ID if args.stop_at_eos else None),
-        stop_sequences=stops)
+        stop_sequences=stops, want_logprobs=args.logprobs)
     reqs = [GenRequest(tok.encode(t), args.max_new_tokens) for t in prompts]
     for text, res in zip(prompts, server.serve(reqs)):
       completion = tok.decode(list(res.tokens))
@@ -190,9 +194,19 @@ def _run(args):
       out, lps = out
     new_ids = [int(t) for t in np.asarray(out)[0, ids.shape[1]:]]
     if args.stop_at_eos or stops:
-      # early-exited rows emit pad (0) for the remaining positions
-      while new_ids and new_ids[-1] == 0:
-        new_ids.pop()
+      # Early-exited rows emit pad (0) after the eos/stop: truncate at
+      # the FIRST eos/stop match rather than blindly stripping zeros (a
+      # budget-exhausted row may legitimately end in token 0).
+      seq = [int(t) for t in ids[0]] + new_ids
+      t0 = ids.shape[1]
+      for j in range(len(new_ids)):
+        at_eos = args.stop_at_eos and new_ids[j] == lm_pipeline.EOS_ID
+        at_stop = stops and any(
+            len(seq[:t0 + j + 1]) >= len(ss)
+            and seq[:t0 + j + 1][-len(ss):] == ss for ss in stops)
+        if at_eos or at_stop:
+          new_ids = new_ids[:j + 1]
+          break
     completion = tok.decode(new_ids)
     outputs.append(completion)
     print(f"=== {text!r}\n{completion}")

@@ -54,7 +54,7 @@ class GenResult:
   tokens: list          # generated ids, EOS included when hit
   prompt_len: int
   finished_by_eos: bool
-  logprobs: list = None  # per generated token: log p under the raw softmax
+  logprobs: list = None  # per generated token (want_logprobs=True only)
   finished_by_stop: bool = False  # ended by a server stop_sequence
 
 
@@ -65,7 +65,8 @@ class LMServer:
                max_seq_len: int = 2048, temperature: float = 0.0,
                top_k: int = 0, top_p: float = 0.0,
                eos_id: Optional[int] = None, burst: int = 8, seed: int = 0,
-               cast_weights: bool = True, stop_sequences=None):
+               cast_weights: bool = True, stop_sequences=None,
+               want_logprobs: bool = False):
     from automl_tpu.models.lm import cast_lm_params_for_serving
     if cast_weights and getattr(model, "cfg", None) is not None:
       # One-time f32 -> activation-dtype cast of the matmul weights:
@@ -75,6 +76,19 @@ class LMServer:
       params = cast_lm_params_for_serving(params, model.cfg)
     self.model, self.params = model, params
     self.B, self.S = int(max_batch), int(max_seq_len)
+    cfg = getattr(model, "cfg", None)
+    if cfg is not None and cfg.get("serve_sp"):
+      # round the cache up to a 'model'-shard multiple so decode never
+      # pads the S-sharded cache inside the burst (full-cache copy/step)
+      try:
+        mesh = jax.sharding.get_abstract_mesh()
+        m = 1 if mesh is None or mesh.empty else mesh.shape.get("model", 1)
+      except Exception:
+        m = 1
+      self.S = -(-self.S // m) * m
+    # log_softmax over the whole vocab per step is not free: only pay it
+    # when the caller wants GenResult.logprobs
+    self.want_logprobs = bool(want_logprobs)
     self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
     self.eos_id = eos_id
     # multi-token stop sequences (token-id lists): a slot finishes as
@@ -157,8 +171,9 @@ class LMServer:
       nxt = sample_logits(sub, logits[:, 0], self.temperature,
                           self.top_k, self.top_p)
       nxt = jnp.where(active, nxt, 0).astype(jnp.int32)
-      lp = chosen_logprob(logits[:, 0], nxt)  # junk on inactive rows;
-      lengths = lengths + active              # the host slices by emitted
+      lp = (chosen_logprob(logits[:, 0], nxt) if self.want_logprobs
+            else jnp.zeros((self.B,), jnp.float32))  # junk on inactive
+      lengths = lengths + active              # rows; host slices by emitted
       remaining = remaining - active
       still = active & (remaining > 0)
       if self.eos_id is not None:
@@ -230,11 +245,13 @@ class LMServer:
                                   self.top_k, self.top_p)
         first = int(first_arr[0])
         outputs[ridx].append(first)
-        outlps[ridx].append(float(
-            chosen_logprob(last_logits[None], first_arr)[0]))
-        tail = (list(prompt.tolist()) + [first])[-self._stop_k:]
-        hit_stop = any(len(t2 := (list(prompt.tolist()) + [first])) >= len(ss)
-                       and t2[-len(ss):] == ss for ss in self.stop_seqs)
+        if self.want_logprobs:
+          outlps[ridx].append(float(
+              chosen_logprob(last_logits[None], first_arr)[0]))
+        seq = prompt.tolist() + [first]
+        tail = seq[-self._stop_k:]
+        hit_stop = any(len(seq) >= len(ss) and seq[-len(ss):] == ss
+                       for ss in self.stop_seqs)
         done = (req.max_new_tokens <= 1 or hit_stop
                 or (self.eos_id is not None and first == self.eos_id))
         if done:
@@ -268,7 +285,8 @@ class LMServer:
           continue
         n = int(emitted[b])
         outputs[ridx].extend(int(t) for t in toks_np[b, :n])
-        outlps[ridx].extend(float(v) for v in lps_np[b, :n])
+        if self.want_logprobs:
+          outlps[ridx].extend(float(v) for v in lps_np[b, :n])
         if n > 0:
           fixed_last[b] = toks_np[b, n - 1]
         if not active_after[b]:

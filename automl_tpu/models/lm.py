@@ -471,9 +471,6 @@ class Attention(Module):
         # the sharded S dim.
         if not cfg.get("use_decode_kernel", True):
           raise ValueError("serve_sp requires use_decode_kernel=True")
-        if cfg.get("serve_tp"):
-          raise ValueError("serve_sp and serve_tp are mutually exclusive "
-                           "(shard heads OR sequence, not both)")
         from automl_tpu.ops.decode_attention import (decode_attention,
                                                      decode_attention_sp)
         kc = _constrain(kc, P(None, None, "model"))
@@ -874,6 +871,9 @@ class TransformerLM(Module):
   def __init__(self, cfg: Config, sharding: ShardingConfig | None = None,
                name="lm"):
     super().__init__(name)
+    if cfg.get("serve_sp") and cfg.get("serve_tp"):
+      raise ValueError("serve_sp and serve_tp are mutually exclusive "
+                       "(shard the cache over heads OR sequence, not both)")
     self.cfg = cfg
     self.sh = sharding or ShardingConfig.data_parallel()
     self.block = TransformerBlock(cfg, self.sh)
@@ -1251,15 +1251,16 @@ def chosen_logprob(logits, tok):
 def _match_stops(tokens, i_next, stops):
   """[B] bool: does tokens[:, :i_next] end with any stop sequence?
 
-  stops: [N, K] int32, LEFT-padded with -1 (wildcard). Matching only
-  activates once i_next >= K (a clamped dynamic_slice would otherwise
-  compare a shifted window)."""
-  b = tokens.shape[0]
+  stops: [N, K] int32, LEFT-padded with -1 (wildcard). The window is
+  RIGHT-ALIGNED at i_next with -2 filling positions before the sequence
+  start, so a short stop can fire before K total tokens exist (wildcard
+  -1 matches the -2 fill; a real stop token never does)."""
   n, k = stops.shape
-  start = jnp.maximum(i_next - k, 0)
-  window = jax.lax.dynamic_slice(tokens, (0, start), (b, k))  # [B, K]
+  idx = i_next - k + jnp.arange(k)                   # may be negative
+  vals = tokens[:, jnp.clip(idx, 0, tokens.shape[1] - 1)]     # [B, K]
+  window = jnp.where(idx >= 0, vals, -2)
   eq = (stops[None, :, :] == window[:, None, :]) | (stops[None] < 0)
-  return jnp.all(eq, axis=-1).any(axis=-1) & (i_next >= k)
+  return jnp.all(eq, axis=-1).any(axis=-1)
 
 
 def _pack_stops(stop_sequences):
@@ -1299,12 +1300,20 @@ def greedy_generate(model: TransformerLM, params, prompt_tokens,
   total = t0 + max_new_tokens
   stops = _pack_stops(stop_sequences) if stop_sequences else None
   early_exit = eos_id is not None or stops is not None
-  cache = model.init_cache(b, total)
+  # serve_sp: allocate the cache at a shard multiple so decode never pads
+  # the S-sharded cache inside the loop (a full-cache copy per step);
+  # the extra slots carry future kv_positions and are causally masked.
+  s_alloc = total
+  mcfg = getattr(model, "cfg", None)
+  if mcfg is not None and mcfg.get("serve_sp") and _mesh_axis_active("model"):
+    n_shard = jax.sharding.get_abstract_mesh().shape["model"]
+    s_alloc = -(-total // n_shard) * n_shard
+  cache = model.init_cache(b, s_alloc)
   positions = jnp.broadcast_to(jnp.arange(t0)[None], (b, t0))
   logits, cache = model(params, prompt_tokens, positions=positions,
                         cache=cache, cache_index=0,
                         kv_positions=jnp.broadcast_to(
-                            jnp.arange(total)[None], (b, total)))
+                            jnp.arange(s_alloc)[None], (b, s_alloc)))
   rng = rng if rng is not None else jax.random.key(0)
   next_tok = sample_logits(rng, logits[:, t0 - 1], temperature, top_k, top_p)
 
@@ -1315,7 +1324,7 @@ def greedy_generate(model: TransformerLM, params, prompt_tokens,
   if return_logprobs:
     lps = lps.at[:, 0].set(chosen_logprob(logits[:, t0 - 1], next_tok))
 
-  kv_pos = jnp.broadcast_to(jnp.arange(total)[None], (b, total))
+  kv_pos = jnp.broadcast_to(jnp.arange(s_alloc)[None], (b, s_alloc))
   done0 = jnp.full((b,), False)
   if eos_id is not None:
     done0 = done0 | (next_tok == eos_id)

@@ -218,10 +218,15 @@ def test_generation_logprobs_match_teacher_forcing():
     want = lsm[0, t0 - 1 + j, toks[0, t0 + j]]
     np.testing.assert_allclose(lps[0, j], want, atol=2e-4)
 
-  srv = LMServer(model, params, max_batch=2, max_seq_len=64, burst=4)
+  srv = LMServer(model, params, max_batch=2, max_seq_len=64, burst=4,
+                 want_logprobs=True)
   res = srv.serve([GenRequest(prompt, 6)])[0]
   assert res.tokens == [int(t) for t in toks[0, t0:]]
   np.testing.assert_allclose(res.logprobs, lps[0, :6], atol=2e-4)
+  # default (want_logprobs=False): no logprobs collected, tokens equal
+  srv2 = LMServer(model, params, max_batch=2, max_seq_len=64, burst=4)
+  res2 = srv2.serve([GenRequest(prompt, 6)])[0]
+  assert res2.tokens == res.tokens and res2.logprobs == []
 
 
 def test_stop_sequences_greedy_and_server():
@@ -273,3 +278,19 @@ def test_stop_sequences_greedy_and_server():
       model, params, jnp.asarray(prompt, jnp.int32)[None], 12,
       stop_sequences=[[96, 96, 96]]))
   np.testing.assert_array_equal(out2, base)
+
+
+def test_short_stop_fires_before_longest_stop_window():
+  """A 1-token stop must fire on the FIRST generated token even when a
+  longer stop raises the window size K (review finding: the old global
+  i_next >= K gate suppressed short-stop matches near the start)."""
+  cfg, model, params = _tiny_model()
+  prompt = [5]
+  base = np.asarray(greedy_generate(
+      model, params, jnp.asarray(prompt, jnp.int32)[None], 8))
+  first = int(base[0, 1])
+  out = np.asarray(greedy_generate(
+      model, params, jnp.asarray(prompt, jnp.int32)[None], 8,
+      stop_sequences=[[first], [90, 91, 92]]))
+  assert int(out[0, 1]) == first
+  assert not out[0, 2:].any()   # stopped immediately, pad after

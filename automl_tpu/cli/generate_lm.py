@@ -46,6 +46,12 @@ def parse_args(argv=None):
                       "temperature=0")
   p.add_argument("--n_draft", type=int, default=4,
                  help="drafted tokens per speculative iteration")
+  p.add_argument("--num_beams", type=int, default=1,
+                 help="> 1: length-penalized beam search (greedy/sampling "
+                      "flags are ignored; not with --serve_slots/"
+                      "--draft_model_dir)")
+  p.add_argument("--length_penalty", type=float, default=0.6,
+                 help="GNMT length normalization exponent for --num_beams")
   p.add_argument("--stop", action="append", default=None,
                  help="stop text (repeatable): generation ends as soon as "
                       "the output ends with any stop's token sequence "
@@ -144,6 +150,11 @@ def _run(args):
 
   config, model, params = load_model(args.model_dir, args.step, args.int8,
                                      serve_mode=args.serve_mode)
+  if args.num_beams > 1 and (args.serve_slots or args.draft_model_dir
+                             or args.stop or args.logprobs):
+    raise ValueError("--num_beams > 1 runs standalone beam search; it does "
+                     "not compose with --serve_slots, --draft_model_dir, "
+                     "--stop or --logprobs")
   draft = None
   if args.draft_model_dir:
     if args.stop or args.logprobs:
@@ -181,7 +192,13 @@ def _run(args):
         rng=jax.random.key(args.seed + i), temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p,
         eos_id=(lm_pipeline.EOS_ID if args.stop_at_eos else None))
-    if draft is not None:
+    if args.num_beams > 1:
+      from automl_tpu.models.beam import beam_search_generate
+      out, score = beam_search_generate(
+          model, params, jnp.asarray(ids), args.max_new_tokens,
+          num_beams=args.num_beams, length_penalty=args.length_penalty,
+          eos_id=(lm_pipeline.EOS_ID if args.stop_at_eos else None))
+    elif draft is not None:
       out = speculative_generate(
           model, params, draft[1], draft[2], jnp.asarray(ids),
           args.max_new_tokens, n_draft=args.n_draft, **common)

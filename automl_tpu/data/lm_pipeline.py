@@ -28,8 +28,11 @@ class ByteTokenizer:
     return [b + _NUM_SPECIALS for b in text.encode("utf-8")]
 
   def decode(self, ids) -> str:
+    # skip specials AND ids beyond the byte range: a model trained with a
+    # larger vocab (e.g. the lm-test config) can emit such ids; decoding
+    # junk must degrade, not crash
     data = bytes(int(i) - _NUM_SPECIALS for i in ids
-                 if int(i) >= _NUM_SPECIALS)
+                 if _NUM_SPECIALS <= int(i) < _NUM_SPECIALS + 256)
     return data.decode("utf-8", errors="replace")
 
 

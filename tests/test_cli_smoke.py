@@ -154,6 +154,15 @@ def test_generate_lm_cli_end_to_end(tmp_path):
   assert outs_stop == outs_stop2
   assert outs[0].startswith(outs_stop[0].rstrip("\x00"))
 
+  # --num_beams=1-equivalent check + beam CLI path runs
+  outs_beam = generate_lm.main(["--model_dir", d, "--prompt", "abcabc",
+                                "--max_new_tokens", "6", "--num_beams", "3"])
+  assert len(outs_beam) == 1 and isinstance(outs_beam[0], str)
+  import pytest as _pytest
+  with _pytest.raises(ValueError, match="num_beams"):
+    generate_lm.main(["--model_dir", d, "--prompt", "x",
+                      "--num_beams", "2", "--serve_slots", "2"])
+
   # --logprobs prints without changing the completion (both paths)
   outs_lp = generate_lm.main(["--model_dir", d, "--prompt", "abcabc",
                               "--max_new_tokens", "6", "--logprobs"])

@@ -66,7 +66,8 @@ def parse_args(argv=None):
                       "heads sharded (serve_tp, sharded head-leading KV "
                       "cache + shard_map'd decode kernel), sp = sequence-"
                       "sharded KV cache (serve_sp, long-context partial-"
-                      "merge decode). Pair with --mesh_model.")
+                      "merge decode). Both compose with --serve_slots. "
+                      "Pair with --mesh_model.")
   p.add_argument("--mesh_model", type=int, default=0,
                  help="'model' mesh-axis size for --serve_mode "
                       "(0 = all available devices)")
@@ -122,11 +123,6 @@ def main(argv=None):
   import contextlib
   import jax
   ctx = contextlib.nullcontext()
-  if args.serve_mode == "tp" and args.serve_slots > 0:
-    raise ValueError("--serve_mode=tp does not compose with --serve_slots "
-                     "(per-slot cache writes need scalar-indexed tp rows); "
-                     "use --serve_mode=sp for a sharded continuous-batching "
-                     "server")
   if args.serve_mode != "none":
     # sharded serving: 'model'-axis mesh over the available devices
     from automl_tpu.parallel import create_mesh

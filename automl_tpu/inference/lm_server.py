@@ -116,12 +116,25 @@ class LMServer:
                                  cache_index=0, kv_positions=pos)
         write = jnp.where(jnp.arange(bucket) < true_len,
                           jnp.arange(bucket), self.S)
-        # The cache is rank-3 (models/lm.py init_cache): k [B*n_kv, hd, S],
-        # v [B*n_kv, S, hd]; slot b owns rows b*n_kv .. (b+1)*n_kv. Write
-        # the slot's rows functionally: pad columns park at index S and
-        # are dropped.
+        # Rank-3 batch-major cache (models/lm.py init_cache): k
+        # [B*n_kv, hd, S], v [B*n_kv, S, hd]; slot b owns rows
+        # b*n_kv .. (b+1)*n_kv. serve_tp stores head-leading rank-4
+        # ([n_kv, B, hd, S]); slot b is column b. Either way the pad
+        # columns park at index S and are dropped.
         new_cache = []
         for big, t in zip(cache, tmp):
+          if big["k"].ndim == 4:               # serve_tp head-leading
+            # `slot` is a traced scalar, so jnp treats it as an ADVANCED
+            # index: together with `write` the advanced axes move to the
+            # front -> target selection is [bucket, n_kv, hd]
+            new_cache.append(
+                {"k": big["k"].at[:, slot, :, write].set(
+                    jnp.transpose(t["k"][:, 0], (2, 0, 1)), mode="drop"),
+                 # v's advanced indices (dims 1, 2) are adjacent -> they
+                 # stay in place: selection [n_kv, bucket, hd]
+                 "v": big["v"].at[:, slot, write].set(
+                    t["v"][:, 0], mode="drop")})
+            continue
           nkv, hd, _ = t["k"].shape
           krow = jax.lax.dynamic_slice(
               big["k"], (slot * nkv, 0, 0), (nkv, hd, self.S))

@@ -406,10 +406,6 @@ class Attention(Module):
         if not cfg.get("use_decode_kernel", True):
           raise ValueError("serve_tp requires use_decode_kernel=True")
         idx = jnp.asarray(cache_index)
-        if idx.ndim >= 1:
-          raise NotImplementedError(
-              "serve_tp supports scalar cache_index (whole-batch decode); "
-              "per-slot continuous batching under tp is not implemented")
         from automl_tpu.ops.decode_attention import (decode_attention,
                                                      decode_attention_tp)
         spec = P("model", None, None, None)
@@ -417,10 +413,26 @@ class Attention(Module):
             cache["k"].dtype)
         vr4 = jnp.transpose(v, (2, 0, 1, 3)).astype(  # [n_kv, B, T, hd]
             cache["v"].dtype)
-        kc = _constrain(jax.lax.dynamic_update_slice(
-            cache["k"], kr4, (0, 0, 0, idx)), spec)
-        vc = _constrain(jax.lax.dynamic_update_slice(
-            cache["v"], vr4, (0, 0, idx, 0)), spec)
+        if idx.ndim >= 1:
+          # Per-slot write positions (continuous batching under tp):
+          # same out-of-range-drop scatter as the batch-major path, on
+          # the head-leading layout. [B] -> row b writes at idx[b] +
+          # arange(T); [B, T] -> explicit per-token positions.
+          t_idx = (idx[:, None] + jnp.arange(t)[None, :]
+                   if idx.ndim == 1 else idx)                # [B, T]
+          rows = jnp.broadcast_to(jnp.arange(b)[:, None], t_idx.shape)
+          # advanced indices at dims 1 (rows) and 3 (positions) are
+          # non-adjacent -> they move to the FRONT: value [B, T, n_kv, hd]
+          kc = cache["k"].at[:, rows, :, t_idx].set(
+              jnp.transpose(kr4, (1, 3, 0, 2)), mode="drop")
+          # dims 1, 2 are adjacent -> indices stay in place: [n_kv, B, T, hd]
+          vc = cache["v"].at[:, rows, t_idx].set(vr4, mode="drop")
+          kc, vc = _constrain(kc, spec), _constrain(vc, spec)
+        else:
+          kc = _constrain(jax.lax.dynamic_update_slice(
+              cache["k"], kr4, (0, 0, 0, idx)), spec)
+          vc = _constrain(jax.lax.dynamic_update_slice(
+              cache["v"], vr4, (0, 0, idx, 0)), spec)
         new_cache = {"k": kc, "v": vc}
         cap = cfg.attn_logit_cap or 0.0
         if _mesh_axis_active("model"):

@@ -133,15 +133,15 @@ def test_generate_lm_cli_end_to_end(tmp_path):
                               "--max_new_tokens", "6",
                               "--serve_mode", "sp", "--mesh_model", "4"])
   assert outs_sp == outs
-  # sp composes with the slot server; tp + slots is an explicit error
+  # both sharded modes compose with the slot server
   outs_sps = generate_lm.main(["--model_dir", d, "--prompt", "abcabc",
                                "--max_new_tokens", "6", "--serve_slots", "2",
                                "--serve_mode", "sp", "--mesh_model", "4"])
   assert outs_sps == outs
-  import pytest
-  with pytest.raises(ValueError, match="serve_slots"):
-    generate_lm.main(["--model_dir", d, "--prompt", "x",
-                      "--serve_mode", "tp", "--serve_slots", "2"])
+  outs_tps = generate_lm.main(["--model_dir", d, "--prompt", "abcabc",
+                               "--max_new_tokens", "6", "--serve_slots", "2",
+                               "--serve_mode", "tp", "--mesh_model", "2"])
+  assert outs_tps == outs
 
   # --stop: byte-tokenizer stop text truncates both paths identically
   outs_stop = generate_lm.main(["--model_dir", d, "--prompt", "abcabc",

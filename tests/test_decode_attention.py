@@ -220,18 +220,13 @@ def test_serve_tp_error_paths():
           positions=jnp.zeros((1, 1), jnp.int32), cache=cache,
           cache_index=0, kv_positions=jnp.arange(32)[None])
 
-  # vector cache_index (continuous batching) under serve_tp: explicit
+  # serve_sp + serve_tp is rejected at construction
   cfg2 = lm_defaults()
   cfg2.override("model_dim=64,n_layers=1,n_heads=4,n_kv_heads=4,head_dim=16,"
-                "vocab_size=97,seq_len=32,serve_tp=True,"
+                "vocab_size=97,seq_len=32,serve_tp=True,serve_sp=True,"
                 "activation_dtype=float32")
-  model2 = TransformerLM(cfg2)
-  cache2 = model2.init_cache(2, 32)
-  with pytest.raises(NotImplementedError, match="scalar cache_index"):
-    model2(model2.init(jax.random.key(0)), jnp.ones((2, 1), jnp.int32),
-           positions=jnp.zeros((2, 1), jnp.int32), cache=cache2,
-           cache_index=jnp.asarray([0, 5]),
-           kv_positions=jnp.arange(32)[None])
+  with pytest.raises(ValueError, match="mutually exclusive"):
+    TransformerLM(cfg2)
 
 
 def test_decode_attention_stats_merge_equals_full():

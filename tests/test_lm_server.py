@@ -294,3 +294,26 @@ def test_short_stop_fires_before_longest_stop_window():
       stop_sequences=[[first], [90, 91, 92]]))
   assert int(out[0, 1]) == first
   assert not out[0, 2:].any()   # stopped immediately, pad after
+
+
+def test_server_composes_with_serve_tp_mesh():
+  """Continuous batching over a HEAD-SHARDED cache (serve_tp): per-slot
+  scatter writes on the head-leading layout + the shard_map'd kernel —
+  token-exact vs the plain single-device server."""
+  from automl_tpu.parallel import create_mesh
+
+  cfg, model, params = _tiny_model()
+  reqs = [GenRequest([5, 9, 23], 6), GenRequest([7, 2], 4),
+          GenRequest([11, 3, 1, 4], 5)]
+  plain = LMServer(model, params, max_batch=2, max_seq_len=64, burst=4)
+  want = [r.tokens for r in plain.serve(reqs)]
+
+  tp_cfg = lm_lib.lm_defaults()
+  tp_cfg.update(dict(model_dim=64, n_layers=2, n_heads=4, n_kv_heads=4,
+                     head_dim=16, vocab_size=97, seq_len=256,
+                     use_flash_attention=False, serve_tp=True))
+  tp_model = lm_lib.TransformerLM(tp_cfg)  # hero tp pspecs
+  with jax.set_mesh(create_mesh((1, 2, 4))):
+    srv = LMServer(tp_model, params, max_batch=2, max_seq_len=64, burst=4)
+    got = [r.tokens for r in srv.serve(reqs)]
+  assert got == want, (got, want)

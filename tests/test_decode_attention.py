@@ -306,3 +306,47 @@ def test_serve_sp_generation_token_exact():
   with jax.set_mesh(create_mesh((1, 2, 4))):
     out_sp = greedy_generate(sp_model, params, prompt, 10)
   np.testing.assert_array_equal(np.asarray(out_sp), np.asarray(ref))
+
+
+def test_serve_sp_divides_per_device_cache_memory():
+  """The point of serve_sp: compiled per-device memory of a decode step
+  drops by ~the 'model'-axis size because the KV cache is S-sharded
+  (cf. the EP memory-payoff table in PERF_NOTES). Measured via XLA's
+  compiled memory_analysis on the 8-dev CPU mesh (model=4)."""
+  from automl_tpu import nn
+  from automl_tpu.models.lm import lm_defaults, TransformerLM
+  from automl_tpu.parallel import create_mesh
+
+  nn.set_policy("float32")
+  ov = ("model_dim=128,n_layers=2,n_heads=8,n_kv_heads=8,head_dim=32,"
+        "vocab_size=256,seq_len=2048,activation_dtype=float32")
+  B, S = 4, 2048
+  stats = {}
+  for mode in ("plain", "serve_sp"):
+    cfg = lm_defaults()
+    cfg.override(ov + (",serve_sp=True" if mode == "serve_sp" else ""))
+    model = TransformerLM(cfg)
+    with jax.set_mesh(create_mesh((1, 2, 4))):
+      params = model.init(jax.random.key(0))
+      cache = model.init_cache(B, S)
+      kv_pos = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+
+      def step(params, cache, tok):
+        logits, cache = model(params, tok,
+                              positions=jnp.full((B, 1), 7, jnp.int32),
+                              cache=cache, cache_index=7,
+                              kv_positions=kv_pos)
+        return jnp.argmax(logits[:, 0], -1), cache
+
+      compiled = jax.jit(step).lower(
+          params, cache, jnp.ones((B, 1), jnp.int32)).compile()
+      stats[mode] = compiled.memory_analysis()
+  cache_bytes = 2 * 2 * B * 8 * 32 * S * 4  # k+v, 2 layers, f32
+  plain, sp = stats["plain"], stats["serve_sp"]
+  # plain decode replicates the whole cache per device
+  assert plain.argument_size_in_bytes > cache_bytes
+  # serve_sp shards it 4 ways: per-device args shrink by ~the cache cut
+  assert sp.argument_size_in_bytes < plain.argument_size_in_bytes - \
+      0.6 * cache_bytes, (sp.argument_size_in_bytes,
+                          plain.argument_size_in_bytes)
+  assert sp.output_size_in_bytes < 0.6 * plain.output_size_in_bytes

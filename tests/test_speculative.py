@@ -97,3 +97,40 @@ def test_speculative_sampling_mode_valid_and_all_accept_self_draft():
   assert arr2.shape == (2, 15)
   assert (arr2 >= 0).all() and (arr2 < 61).all()
   np.testing.assert_array_equal(arr2[:, :5], np.asarray(prompt))
+
+
+def test_speculative_under_sharded_serving_modes():
+  """Speculative decoding composes with serve_tp and serve_sp: the
+  target model verifies T>1 chunks through the sharded decode kernels,
+  token-exact vs the unsharded speculative run (greedy)."""
+  import numpy as np
+  from automl_tpu import nn
+  from automl_tpu.models import lm as lm_lib
+  from automl_tpu.models.speculative import speculative_generate
+  from automl_tpu.parallel import create_mesh
+
+  nn.set_policy("float32")
+  ov = dict(model_dim=64, n_layers=2, n_heads=8, n_kv_heads=4, head_dim=16,
+            vocab_size=97, seq_len=64, activation_dtype="float32",
+            use_flash_attention=False)
+  tcfg = lm_lib.lm_defaults(); tcfg.update(ov)
+  dcfg = lm_lib.lm_defaults()
+  dcfg.update(dict(ov, model_dim=32, n_layers=1, n_heads=4, n_kv_heads=4,
+                   head_dim=8))
+  target = lm_lib.TransformerLM(tcfg)
+  draft = lm_lib.TransformerLM(dcfg, lm_lib.ShardingConfig.data_parallel())
+  tp_params = jax.jit(target.init)(jax.random.key(0))
+  dp_params = jax.jit(draft.init)(jax.random.key(1))
+  prompt = jnp.asarray([[5, 9, 23, 2]], jnp.int32)
+
+  ref = speculative_generate(target, tp_params, draft, dp_params, prompt,
+                             10, n_draft=3)
+  for mode in ("serve_tp", "serve_sp"):
+    cfg = lm_lib.lm_defaults()
+    cfg.update(dict(ov, **{mode: True}))
+    sharded = lm_lib.TransformerLM(cfg)
+    with jax.set_mesh(create_mesh((1, 2, 4))):
+      out = speculative_generate(sharded, tp_params, draft, dp_params,
+                                 prompt, 10, n_draft=3)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref),
+                                  err_msg=mode)

@@ -33,21 +33,32 @@ NEG_INF = -1e30
 
 
 def _replicate_cache_rows(cache, b, n_kv, beams):
-  """[B*n_kv, ...] -> [(B*beams)*n_kv, ...], beams innermost per batch."""
+  """Replicate per-batch cache entries per beam (beams innermost).
+
+  Batch-major rank-3 layout: [B*n_kv, ...] -> [(B*beams)*n_kv, ...].
+  Head-leading rank-4 (serve_tp): batch is dim 1 -> repeat along it."""
   def rep(x):
+    if x.ndim == 4:                              # [n_kv, B, ...] serve_tp
+      return jnp.repeat(x, beams, axis=1)
     return jnp.repeat(x.reshape(b, n_kv, *x.shape[1:]), beams, axis=0) \
               .reshape(b * beams * n_kv, *x.shape[1:])
   return tuple({k: rep(v) for k, v in layer.items()} for layer in cache)
 
 
 def _gather_cache_rows(cache, row_parent, n_kv):
-  """Reorder cache rows to surviving parents.
+  """Reorder cache entries to surviving parents.
 
-  row_parent: [B*beams] flat parent row (global, beams innermost)."""
-  idx = (row_parent[:, None] * n_kv
-         + jnp.arange(n_kv)[None, :]).reshape(-1)     # [(B*beams)*n_kv]
-  return tuple({k: jnp.take(v, idx, axis=0) for k, v in layer.items()}
-               for layer in cache)
+  row_parent: [B*beams] flat parent batch-beam index. Gathers dim 0
+  (expanded by n_kv) for the batch-major rank-3 layout, dim 1 for the
+  head-leading rank-4 serve_tp layout — either way the gathered dim is
+  unsharded, so GSPMD keeps the head/sequence sharding intact."""
+  idx3 = (row_parent[:, None] * n_kv
+          + jnp.arange(n_kv)[None, :]).reshape(-1)    # [(B*beams)*n_kv]
+  def gather(x):
+    if x.ndim == 4:
+      return jnp.take(x, row_parent, axis=1)
+    return jnp.take(x, idx3, axis=0)
+  return tuple({k: gather(v) for k, v in layer.items()} for layer in cache)
 
 
 def beam_search_generate(model, params, prompt_tokens, max_new_tokens: int,
@@ -57,22 +68,30 @@ def beam_search_generate(model, params, prompt_tokens, max_new_tokens: int,
 
   tokens carry the best beam per batch row (finished rows pad with 0
   after their eos); scores are the length-normalized log-probabilities
-  of the returned sequences. Works on the standard batch-major cache
-  only (serve_tp / serve_sp layouts would need their own reorder)."""
+  of the returned sequences. Composes with serve_tp (head-leading cache:
+  the beam gather runs on the unsharded batch dim) and serve_sp
+  (S-sharded cache: the gather runs on the unsharded row dim)."""
   cfg = getattr(model, "cfg", None)
-  if cfg is not None and (cfg.get("serve_tp") or cfg.get("serve_sp")):
-    raise NotImplementedError(
-        "beam search reorders cache rows batch-major; serve_tp/serve_sp "
-        "shard the cache differently — decode those with greedy/sampling")
   b, t0 = prompt_tokens.shape
   k = int(num_beams)
   total = t0 + max_new_tokens
   n_kv = model.cfg.n_kv_heads if cfg is not None else None
 
+  # serve_sp: allocate at a shard multiple (same reasoning as
+  # greedy_generate — never pad the sharded cache inside the loop)
+  s_alloc = total
+  if cfg is not None and cfg.get("serve_sp"):
+    try:
+      mesh = jax.sharding.get_abstract_mesh()
+      m = 1 if mesh is None or mesh.empty else mesh.shape.get("model", 1)
+    except Exception:
+      m = 1
+    s_alloc = -(-total // m) * m
+
   # prefill at batch B, then replicate rows per beam
-  cache = model.init_cache(b, total)
+  cache = model.init_cache(b, s_alloc)
   positions = jnp.broadcast_to(jnp.arange(t0)[None], (b, t0))
-  kv_pos_b = jnp.broadcast_to(jnp.arange(total)[None], (b, total))
+  kv_pos_b = jnp.broadcast_to(jnp.arange(s_alloc)[None], (b, s_alloc))
   logits, cache = model(params, prompt_tokens, positions=positions,
                         cache=cache, cache_index=0, kv_positions=kv_pos_b)
   cache = _replicate_cache_rows(cache, b, n_kv, k)
@@ -88,7 +107,7 @@ def beam_search_generate(model, params, prompt_tokens, max_new_tokens: int,
   done = (tok0 == eos_id) if eos_id is not None else jnp.zeros((b, k), bool)
   lengths = jnp.ones((b, k), jnp.int32)  # generated tokens per beam
 
-  kv_pos = jnp.broadcast_to(jnp.arange(total)[None], (b * k, total))
+  kv_pos = jnp.broadcast_to(jnp.arange(s_alloc)[None], (b * k, s_alloc))
 
   def body(i, state):
     tokens, cache, scores, done, lengths = state

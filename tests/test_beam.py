@@ -113,3 +113,28 @@ def test_beam_batched_two_rows():
     np.testing.assert_array_equal(np.asarray(both)[row], np.asarray(one)[0])
     np.testing.assert_allclose(float(s_both[row]), float(s_one[0]),
                                atol=1e-5)
+
+
+def test_beam_under_sharded_serving_modes():
+  """Beam search composes with serve_tp (head-leading cache, beam gather
+  on the batch dim) and serve_sp (S-sharded cache): same tokens and
+  scores as the unsharded run."""
+  from automl_tpu.parallel import create_mesh
+
+  cfg, model, params = _f32_model()
+  prompt = jnp.asarray([[5, 9, 23, 2]], jnp.int32)
+  ref, ref_s = beam_search_generate(model, params, prompt, 5, num_beams=3)
+  # serve_tp needs n_kv (2) divisible by the model axis -> model=2
+  for mode, mesh_shape in (("serve_tp", (1, 4, 2)), ("serve_sp", (1, 2, 4))):
+    c = lm_lib.lm_defaults()
+    c.update(dict(model_dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                  head_dim=16, vocab_size=61, seq_len=64,
+                  use_flash_attention=False, activation_dtype="float32",
+                  **{mode: True}))
+    sharded = lm_lib.TransformerLM(c)
+    with jax.set_mesh(create_mesh(mesh_shape)):
+      got, got_s = beam_search_generate(sharded, params, prompt, 5,
+                                        num_beams=3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                  err_msg=mode)
+    np.testing.assert_allclose(float(got_s[0]), float(ref_s[0]), atol=1e-5)

@@ -16,9 +16,11 @@ Design:
     each device holds a contiguous head slice (decode_attention_tp
     shard_maps the kernel — GSPMD would all-gather around the opaque
     custom call otherwise);
-  * grid (B*n_heads, S_blocks), S innermost, classic online-softmax
-    accumulators in VMEM scratch (same scheme as ops/attention.py
-    _fwd_kernel);
+  * grid (B*n_heads, T_blocks, S_blocks), S innermost, classic
+    online-softmax accumulators in VMEM scratch (same scheme as
+    ops/attention.py _fwd_kernel); T is tiled so prefill-with-cache
+    (T = prompt length) fits scoped VMEM, while decode (T <= 8) stays a
+    single block;
   * GQA is resolved in the BlockSpec index_map (q row r reads kv row
     (r // n)*n_kv + (r % n)//rep) — no jnp.repeat materialization of the
     cache;
@@ -52,7 +54,7 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *rest, block_s,
     m_out, l_out, m_scr, l_scr, acc_scr = rest
   else:
     m_scr, l_scr, acc_scr = rest
-  j = pl.program_id(1)
+  j = pl.program_id(2)
 
   @pl.when(j == 0)
   def _init():
@@ -142,7 +144,16 @@ def decode_attention(q, k_cache, v_cache, mask, *, n_kv_heads: int,
   # broadcast across sublanes for the dot. Pad T to the 8-sublane minimum;
   # pad rows are fully masked (l clamps to 1e-30, acc stays 0) and sliced
   # off below — the kernel stays K/V-bandwidth-bound either way.
-  t_pad = max(8, -(-t // 8) * 8)
+  #
+  # T is ALSO tiled: prefill-with-cache (greedy_generate's first step,
+  # serve_tp/serve_sp slot prefill, speculative chunk verification) calls
+  # this kernel with T up to the full prompt length, and an untiled T
+  # puts [T, block_s] f32 score/prob temps in scoped VMEM — at T=1536,
+  # S=1664 that is a measured 29 MB scoped-vmem OOM on v5e (16 MB limit).
+  # Decode (T<=8) keeps the single-block fast path bit-identically.
+  block_t = 8 if t <= 8 else min(128, -(-t // 8) * 8)
+  t_pad = -(-t // block_t) * block_t
+  num_t = t_pad // block_t
   if layout == "head_major":
     qf = q.transpose(2, 0, 1, 3).reshape(n * b, t, h)   # row r = h*B + b
   else:
@@ -161,7 +172,7 @@ def decode_attention(q, k_cache, v_cache, mask, *, n_kv_heads: int,
     def mask_row(r):
       return r // n
 
-  row_spec = pl.BlockSpec((1, t_pad, h), lambda r, j: (r, 0, 0))
+  row_spec = pl.BlockSpec((1, block_t, h), lambda r, i, j: (r, i, 0))
   out_specs = [row_spec]
   out_shape = [jax.ShapeDtypeStruct((b * n, t_pad, h), q.dtype)]
   if return_stats:
@@ -171,19 +182,20 @@ def decode_attention(q, k_cache, v_cache, mask, *, n_kv_heads: int,
       functools.partial(_kernel, block_s=block_s, num_s_blocks=num_s,
                         s_len=s_len, logit_cap=logit_cap,
                         return_stats=return_stats),
-      grid=(b * n, num_s),
+      grid=(b * n, num_t, num_s),
       in_specs=[
           row_spec,
-          pl.BlockSpec((1, h, block_s), lambda r, j: (kv_row(r), 0, j)),
-          pl.BlockSpec((1, block_s, h), lambda r, j: (kv_row(r), j, 0)),
-          pl.BlockSpec((1, t_pad, block_s), lambda r, j: (mask_row(r), 0, j)),
+          pl.BlockSpec((1, h, block_s), lambda r, i, j: (kv_row(r), 0, j)),
+          pl.BlockSpec((1, block_s, h), lambda r, i, j: (kv_row(r), j, 0)),
+          pl.BlockSpec((1, block_t, block_s),
+                       lambda r, i, j: (mask_row(r), i, j)),
       ],
       out_specs=out_specs if return_stats else out_specs[0],
       out_shape=out_shape if return_stats else out_shape[0],
       scratch_shapes=[
-          pltpu.VMEM((t_pad, 1), jnp.float32),
-          pltpu.VMEM((t_pad, 1), jnp.float32),
-          pltpu.VMEM((t_pad, h), jnp.float32),
+          pltpu.VMEM((block_t, 1), jnp.float32),
+          pltpu.VMEM((block_t, 1), jnp.float32),
+          pltpu.VMEM((block_t, h), jnp.float32),
       ],
       interpret=interpret,
   )(qf, k_cache, v_cache, mask8)

@@ -61,6 +61,16 @@ def test_decode_attention_chunk_verify_shape():
   _case(b=2, t=5, n=4, n_kv=4, h=16, s=80, block_s=32, seed=3)
 
 
+def test_decode_attention_prefill_t_tiling():
+  """Prefill-with-cache calls the kernel with T = prompt length; T is
+  tiled (block_t) so [T, block_s] score temps fit scoped VMEM (a measured
+  29 MB scoped-vmem OOM at T=1536 S=1664 on v5e before tiling). t=37
+  exercises a padded partial t-block (t_pad=40); t=130 exercises
+  num_t=2 (block_t=128, t_pad=256) together with S blocking."""
+  _case(b=1, t=37, n=2, n_kv=2, h=16, s=96, block_s=32, seed=7)
+  _case(b=2, t=130, n=2, n_kv=1, h=16, s=64, block_s=64, seed=8)
+
+
 def test_decode_attention_fully_masked_row_is_finite():
   """A fully-masked query row (inactive server slot) must produce finite
   output (zeros), not NaN."""

@@ -86,6 +86,13 @@ def lm_defaults() -> Config:
                                   # serving path at all.
       use_combined_qkv=False,     # stacked [3,d,n,h] qkv matmul (hero
                                   # model_lib.py:562; fewer decode dispatches)
+      use_per_dim_scale=False,    # learned per-dim query scale in place of
+                                  # 1/sqrt(hd) (hero model_lib.py:341-360,
+                                  # applied at :704-705). Zero-init is
+                                  # EXACTLY the default scale (softplus(0)
+                                  # * 1.4427 = 1). Default-ON in hero's
+                                  # BaseExperimentConfig (config_lib.py:168)
+                                  # — mirrored in lm_experiment_configs.
       use_ring_attention=False,   # sequence-parallel ring attention over the
                                   # mesh 'model' axis (BEYOND the reference:
                                   # hero never shards seq — config_lib.py:86-98)
@@ -125,6 +132,9 @@ def lm_experiment_configs() -> dict:
   common = dict(
       n_heads=8, expand_factor=8, vocab_size=100_864, seq_len=2048,
       n_layers=8, use_gated_ffn=True, tie_embeddings=True,
+      # default-ON in hero's BaseExperimentConfig (config_lib.py:168) which
+      # every named experiment derives from
+      use_per_dim_scale=True,
       # training params (hero lr_schedule_config: lr 3e-3, end_decay 0.1)
       optimizer="lion", learning_rate=3e-3, weight_decay=1e-1,
       lr_schedule="cosine_decay", end_decay=0.1, warmup_steps=0,
@@ -333,21 +343,27 @@ class Attention(Module):
     dt = jnp.dtype(self.cfg.param_dtype)
     wo = ((self.n_heads * hd) ** -0.5
           * jax.random.normal(k4, (d, self.n_heads, hd))).astype(dt)
+    extra = {}
+    if self.cfg.get("use_per_dim_scale"):
+      # hero PerDimScale.init (model_lib.py:348-351): zeros[hd], f32 —
+      # softplus(0) * r_softplus_0 = 1, so init matches 1/sqrt(hd) exactly.
+      extra["per_dim_scale"] = jnp.zeros((hd,), jnp.float32)
     if self.cfg.get("use_combined_qkv"):
       # hero's stacked layout (model_lib.py:595-617): one [3,d,n,h] qkv
       # matmul when heads match; separate q + stacked [2,d,nkv,h] kv under
       # GQA. Fewer, larger matmuls — matters most in latency-bound decode.
       if self.n_kv == self.n_heads:
         qkv = scale * jax.random.normal(k1, (3, d, self.n_heads, hd))
-        return {"wqkv": qkv.astype(dt), "wo": wo}
+        return {"wqkv": qkv.astype(dt), "wo": wo, **extra}
       wq = scale * jax.random.normal(k1, (d, self.n_heads, hd))
       wkv = scale * jax.random.normal(k2, (2, d, self.n_kv, hd))
-      return {"wq": wq.astype(dt), "wkv": wkv.astype(dt), "wo": wo}
+      return {"wq": wq.astype(dt), "wkv": wkv.astype(dt), "wo": wo, **extra}
     return {
         "wq": (scale * jax.random.normal(k1, (d, self.n_heads, hd))).astype(dt),
         "wk": (scale * jax.random.normal(k2, (d, self.n_kv, hd))).astype(dt),
         "wv": (scale * jax.random.normal(k3, (d, self.n_kv, hd))).astype(dt),
         "wo": wo,
+        **extra,
     }
 
   def apply(self, params, x, positions, mask, cache=None, cache_index=None,
@@ -381,7 +397,19 @@ class Attention(Module):
       v = jnp.einsum("btd,dnh->btnh", x, wv)
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
-    q = q * (self.head_dim ** -0.5)
+    if cfg.get("use_per_dim_scale"):
+      # hero PerDimScale.apply (model_lib.py:353-360), applied to q AFTER
+      # RoPE in place of the 1/sqrt(hd) scale (:704-707): per-dim learned
+      # scale r_softplus_0/sqrt(hd) * softplus(s). The softplus runs in
+      # f32 (the param is f32); the product is cast back to the
+      # activation dtype so downstream attention paths keep their dtype
+      # invariants (identical when adt is f32, one rounding otherwise).
+      r_softplus_0 = 1.442695041
+      pds = jnp.asarray(r_softplus_0 / (self.head_dim ** 0.5), adt)
+      pds = pds * jax.nn.softplus(params["per_dim_scale"].astype(jnp.float32))
+      q = (q * pds).astype(adt)
+    else:
+      q = q * (self.head_dim ** -0.5)
 
     if cache is not None:
       # Decode path: in-place cache update at cache_index, then attention

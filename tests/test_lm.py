@@ -980,3 +980,139 @@ def test_fsdp_sharding_matches_dense_and_shards_opt_state():
                  if hasattr(l, "sharding") and l.ndim >= 2]
     assert any("data" in str(l.sharding.spec) for l in mu_leaves), [
         str(l.sharding.spec) for l in mu_leaves[:4]]
+
+
+# ---------------------------------------------------------------------------
+# PerDimScale (hero model_lib.py:341-360, applied to q at :704-705; default-ON
+# in hero's BaseExperimentConfig, config_lib.py:168).
+# ---------------------------------------------------------------------------
+
+
+def _ref_per_dim_scale(scale_param, x):
+  """Literal transcription of hero/model_lib.py PerDimScale.apply
+  (:353-360) with activation_dtype=float32."""
+  r_softplus_0 = 1.442695041
+  dim = x.shape[-1]
+  scaling_factor = jnp.array(r_softplus_0 / jnp.sqrt(dim), dtype=jnp.float32)
+  scaling_factor *= jax.nn.softplus(scale_param)
+  return x * scaling_factor
+
+
+def test_per_dim_scale_zero_init_matches_default_scaling():
+  """softplus(0) * 1.4427 = 1, so a freshly-initialized PerDimScale model
+  computes the same attention as the plain 1/sqrt(hd) scaling (hero's own
+  init property)."""
+  cfg_on = tiny_cfg(use_per_dim_scale=True, use_remat=False)
+  cfg_off = tiny_cfg(use_per_dim_scale=False, use_remat=False)
+  m_on = lm_lib.TransformerLM(cfg_on)
+  m_off = lm_lib.TransformerLM(cfg_off)
+  p_on = m_on.init(jax.random.key(0))
+  p_off = m_off.init(jax.random.key(0))
+  # same RNG consumption: p_on is p_off plus zero per_dim_scale leaves
+  extra = {p for p in _leaf_names(p_on)} - {p for p in _leaf_names(p_off)}
+  assert all(name.endswith("per_dim_scale") for name in extra) and extra
+  tokens = jax.random.randint(jax.random.key(1), (2, 12), 0, 64)
+  on, _ = m_on(p_on, tokens)
+  off, _ = m_off(p_off, tokens)
+  np.testing.assert_allclose(np.asarray(on), np.asarray(off),
+                             atol=2e-5, rtol=1e-5)
+
+
+def _leaf_names(tree):
+  return ["/".join(str(getattr(k, "key", k)) for k in path)
+          for path, _ in jax.tree_util.tree_leaves_with_path(tree)]
+
+
+def _set_per_dim_scale(params, key, scale=0.3):
+  """Replace every per_dim_scale leaf with a random (nonzero) vector."""
+  def repl(path, leaf):
+    if any(getattr(k, "key", None) == "per_dim_scale" for k in path):
+      return scale * jax.random.normal(key, leaf.shape, leaf.dtype)
+    return leaf
+  return jax.tree_util.tree_map_with_path(repl, params)
+
+
+def test_per_dim_scale_matches_reference_transcription():
+  """Attention output with a NONZERO learned scale equals a from-scratch
+  dense oracle that scales q with the literal hero transcription."""
+  cfg = tiny_cfg(use_per_dim_scale=True, use_remat=False)
+  attn = lm_lib.Attention(cfg, lm_lib.ShardingConfig.data_parallel())
+  params = _set_per_dim_scale(attn.init(jax.random.key(0)),
+                              jax.random.key(7))
+  b, t, d = 2, 9, cfg.model_dim
+  x = jax.random.normal(jax.random.key(1), (b, t, d), jnp.float32)
+  pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+  mask = lm_lib.causal_mask(pos, pos)
+  got, _ = attn.apply(params, x, pos, mask)
+
+  # oracle: separate projections + rope + transcription scale + capped
+  # softmax + output projection
+  q = jnp.einsum("btd,dnh->btnh", x, params["wq"])
+  k = jnp.einsum("btd,dnh->btnh", x, params["wk"])
+  v = jnp.einsum("btd,dnh->btnh", x, params["wv"])
+  q = lm_lib.rope(q, pos, cfg.rope_theta)
+  k = lm_lib.rope(k, pos, cfg.rope_theta)
+  q = _ref_per_dim_scale(params["per_dim_scale"], q)
+  rep = cfg.n_heads // cfg.n_kv_heads
+  k = jnp.repeat(k, rep, axis=2)
+  v = jnp.repeat(v, rep, axis=2)
+  logits = jnp.einsum("bqnh,bknh->bnqk", q, k)
+  cap = cfg.attn_logit_cap
+  logits = cap * jnp.tanh(logits / cap)
+  logits = jnp.where(mask[:, None], logits, -1e9)
+  want = jnp.einsum("bnqk,bknh->bqnh", jax.nn.softmax(logits, axis=-1), v)
+  want = jnp.einsum("bqnh,dnh->bqd", want, params["wo"])
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=1e-5, rtol=1e-5)
+
+
+def test_per_dim_scale_decode_matches_full_forward():
+  """KV-cache decode parity holds with a nonzero per-dim scale (the scale
+  multiplies q only, so cached k/v are unaffected — but every decode path
+  must apply it)."""
+  cfg = tiny_cfg(use_per_dim_scale=True, use_remat=False)
+  model = lm_lib.TransformerLM(cfg)
+  params = _set_per_dim_scale(model.init(jax.random.key(0)),
+                              jax.random.key(7))
+  tokens = jax.random.randint(jax.random.key(1), (2, 10), 0, 64)
+  full_logits, _ = model(params, tokens)
+  total = 10
+  cache = model.init_cache(2, total)
+  kv_pos = jnp.broadcast_to(jnp.arange(total)[None], (2, total))
+  pre_logits, cache = model(params, tokens[:, :6],
+                            positions=jnp.broadcast_to(jnp.arange(6)[None],
+                                                       (2, 6)),
+                            cache=cache, cache_index=0, kv_positions=kv_pos)
+  np.testing.assert_allclose(np.asarray(pre_logits),
+                             np.asarray(full_logits[:, :6]), atol=2e-4)
+  for i in range(6, 8):
+    step_logits, cache = model(
+        params, tokens[:, i:i + 1],
+        positions=jnp.full((2, 1), i, jnp.int32),
+        cache=cache, cache_index=i, kv_positions=kv_pos)
+    np.testing.assert_allclose(np.asarray(step_logits[:, 0]),
+                               np.asarray(full_logits[:, i]), atol=2e-4)
+
+
+def test_per_dim_scale_trains():
+  """The scale is a trainable leaf: one train step moves it and the loss is
+  finite (hero trains it like any other weight)."""
+  from automl_tpu.train import lm_trainer, optimizers as opt_lib
+  cfg = tiny_cfg(use_per_dim_scale=True)
+  model = lm_lib.TransformerLM(cfg)
+  params = model.init(jax.random.key(0))
+  tx = opt_lib.build_optimizer("lion", 1e-2)
+  state = lm_trainer.LMTrainState(jnp.zeros((), jnp.int32), params,
+                                  tx.init(params))
+  step = jax.jit(lm_trainer.make_lm_train_step(model, tx))
+  tokens = jax.random.randint(jax.random.key(1), (4, 17), 0, 64)
+  new_state, logs = step(state, {"tokens": tokens})
+  assert np.isfinite(float(logs["loss"]))
+  before = [l for p, l in jax.tree_util.tree_leaves_with_path(params)
+            if any(getattr(k, "key", None) == "per_dim_scale" for k in p)]
+  after = [l for p, l in
+           jax.tree_util.tree_leaves_with_path(new_state.params)
+           if any(getattr(k, "key", None) == "per_dim_scale" for k in p)]
+  assert before and len(before) == len(after)
+  moved = sum(float(jnp.max(jnp.abs(a - b))) for a, b in zip(after, before))
+  assert moved > 0.0

@@ -20,7 +20,7 @@ def parse_args(argv=None):
   p = argparse.ArgumentParser(description=__doc__)
   p.add_argument("--runmode", default="dry",
                  choices=["dry", "infer", "bm", "benchmark", "export",
-                          "params_flops", "video"])
+                          "saved_model", "params_flops", "video"])
   p.add_argument("--input_video", default=None)
   p.add_argument("--output_video", default=None)
   p.add_argument("--model_name", default="efficientdet-d0")
@@ -82,6 +82,12 @@ def main(argv=None):
     assert args.export_dir, "--export_dir required"
     out = driver.export(args.export_dir)
     print(json.dumps({"export_dir": out}))
+  elif args.runmode == "saved_model":
+    # ref: inference.py:584-644 export (SavedModel is the reference's
+    # primary deployment artifact); model_inspect.py saved_model runmode
+    assert args.export_dir, "--export_dir required"
+    out = driver.export_saved_model(args.export_dir)
+    print(json.dumps({"saved_model_dir": out}))
   elif args.runmode == "video":
     # ref: model_inspect saved_model_video / tf2 inspector video mode
     assert args.input_video and args.output_video

@@ -215,6 +215,41 @@ class ServingDriver:
       f.write(tflite_model)
     return output_path
 
+  def export_saved_model(self, output_dir: str):
+    """Export the FULL serve program as a TF SavedModel via jax2tf.
+
+    The reference's primary deployment artifact (efficientdet/inference.py:
+    584-644 ServingDriver.export; tf2/infer_lib.py:383+ KerasDriver): a
+    SavedModel whose serving_default signature maps a uint8 image batch to
+    {boxes, scores, classes, valid_len} — here the whole on-device pipeline
+    (normalize/resize -> network -> box decode -> NMS) rides inside one
+    converted function, so the artifact needs no Python pre/postprocessing.
+    Weights are embedded as constants (the reference exports frozen graphs
+    the same way, inference.py:570-582).
+    """
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+    if self.params is None:
+      raise RuntimeError("Call load() or init_random() first")
+    if self._serve_fn is None:
+      self._build_serve()
+    size = parse_image_size(self.config.image_size)
+    params = self.params
+    serve_fn = self._serve_fn
+
+    module = tf.Module()
+    module.serve = tf.function(
+        jax2tf.convert(lambda images: serve_fn(params, images)),
+        input_signature=[tf.TensorSpec((self.batch_size, *size, 3),
+                                       tf.uint8, name="images")],
+        autograph=False)
+    os.makedirs(output_dir, exist_ok=True)
+    tf.saved_model.save(
+        module, output_dir,
+        signatures={"serving_default":
+                    module.serve.get_concrete_function()})
+    return output_dir
+
   def export(self, output_dir: str):
     """Export the serving function as StableHLO (jax.export)."""
     from jax import export as jax_export

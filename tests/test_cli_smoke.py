@@ -247,3 +247,22 @@ def test_main_cls_traineval_smoke(tmp_path):
       "--mode=eval", "--model_name=efficientnetv2-test",
       f"--model_dir={tmp_path}/cls", "--eval_samples=8"])
   assert 0.0 <= m2["top1"] <= 1.0
+
+
+def test_saved_model_export_and_serve(tmp_path):
+  """SavedModel roundtrip (ref: inference.py:584-644 — the reference's
+  primary deployment artifact): the serving_default signature reproduces
+  the driver's own serve() outputs exactly."""
+  import numpy as np
+  from automl_tpu.inference.driver import ServingDriver
+  driver = ServingDriver("efficientdet-test", batch_size=1,
+                         mixed_precision=False).init_random()
+  out_dir = driver.export_saved_model(str(tmp_path / "saved_model"))
+  import tensorflow as tf
+  loaded = tf.saved_model.load(out_dir)
+  img = np.random.randint(0, 255, (1, 64, 64, 3), np.uint8)
+  got = loaded.signatures["serving_default"](images=tf.constant(img))
+  want = driver.serve(img)
+  for key in ("boxes", "scores", "classes", "valid_len"):
+    np.testing.assert_allclose(got[key].numpy(), np.asarray(want[key]),
+                               atol=1e-4, err_msg=key)

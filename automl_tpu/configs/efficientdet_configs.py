@@ -86,6 +86,13 @@ def default_detection_configs() -> Config:
           pyfunc=False,
           max_nms_inputs=0,
           max_output_size=100,
+          # Pre-NMS per-anchor-max candidate cap. 5000 matches the
+          # reference exactly (tf2/anchors.py:27 MAX_DETECTION_POINTS,
+          # consumed at tf2/postprocess.py:82-117) — the eval-parity
+          # default. 2048 is the documented serving fast path (D0 b32
+          # postprocess 9.6 ms vs ~15 ms; PERF_NOTES round 4 quantifies
+          # both the AP and ms deltas).
+          pre_nms_topk=5000,
       ),
       tflite_max_detections=100,
       # fpn variants

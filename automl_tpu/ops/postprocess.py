@@ -26,12 +26,14 @@ from automl_tpu.ops import nms as nms_lib
 
 CLASS_OFFSET = 1  # outputs are 1-based classes (ref: postprocess.py:51)
 
-# Pre-NMS candidate cap for the per-anchor-max path. The reference feeds ALL
-# ~50k anchors to the C++ NMS kernel; our fixed-iteration device NMS scans the
-# candidate set every round, so capping to the top-K scores first cuts D0
-# postprocess from 114 ms to ~10 ms at b32 (device-busy) with identical
-# outputs in practice (NMS keeps <= 100 by score anyway).
-PRE_NMS_CANDIDATES = 2048
+# Fallback pre-NMS candidate cap for the per-anchor-max path when the config
+# carries no nms_configs.pre_nms_topk. The configurable default is 5000 —
+# the reference's MAX_DETECTION_POINTS (tf2/anchors.py:27, consumed at
+# tf2/postprocess.py:82-117) — for eval parity; 2048 is the documented
+# serving fast path (capping cuts D0 postprocess 114 -> ~10 ms at b32
+# because our fixed-iteration device NMS scans the candidate set every
+# round; the reference hands all ~50k anchors to a C++ kernel instead).
+PRE_NMS_CANDIDATES = 5000
 
 
 def nms_params(config) -> dict:
@@ -82,7 +84,9 @@ def topk_class_boxes(config, cls_outputs, box_outputs):
   classes = jnp.argmax(cls_outputs, axis=-1).astype(jnp.int32)
   scores = jnp.max(cls_outputs, axis=-1)
   num_anchors = cls_outputs.shape[1]
-  k = min(PRE_NMS_CANDIDATES, num_anchors)
+  pre_nms_topk = int(config.nms_configs.get("pre_nms_topk")
+                     or PRE_NMS_CANDIDATES)
+  k = min(pre_nms_topk, num_anchors)
   if k < num_anchors:
     scores, indices = jax.lax.top_k(scores, k)
     classes = jnp.take_along_axis(classes, indices, axis=1)

@@ -298,3 +298,31 @@ def test_wbf_ensemble():
   np.testing.assert_allclose(out[0, 5], 0.8, rtol=1e-6)  # mean * min(1, 2/2)
   # singleton cluster: confidence scaled by 1/2
   np.testing.assert_allclose(out[1, 5], 0.3, rtol=1e-6)
+
+
+def test_pre_nms_topk_configurable():
+  """nms_configs.pre_nms_topk: default 5000 (reference MAX_DETECTION_POINTS,
+  tf2/anchors.py:27); lowering it shrinks the candidate set fed to NMS."""
+  import jax
+  import jax.numpy as jnp
+  from automl_tpu.configs.efficientdet_configs import get_efficientdet_config
+  from automl_tpu.ops import postprocess
+
+  cfg = get_efficientdet_config("efficientdet-test")
+  assert cfg.nms_configs.pre_nms_topk == 5000
+  # efficientdet-test @ 64px: 774 anchors < 5000 -> no cap applied
+  b, num_classes = 2, cfg.num_classes
+  key = jax.random.key(0)
+  cls_flat = jax.random.normal(key, (b, 774, num_classes))
+  box_flat = 0.1 * jax.random.normal(jax.random.key(1), (b, 774, 4))
+  scores, boxes, classes, idx = postprocess.topk_class_boxes(
+      cfg, cls_flat, box_flat)
+  assert scores.shape[1] == 774
+  cfg.nms_configs.pre_nms_topk = 64
+  scores2, boxes2, classes2, idx2 = postprocess.topk_class_boxes(
+      cfg, cls_flat, box_flat)
+  assert scores2.shape[1] == 64
+  # the capped set is exactly the top-64 of the uncapped per-anchor maxima
+  import numpy as np
+  want = np.sort(np.asarray(scores), axis=1)[:, -64:][:, ::-1]
+  np.testing.assert_allclose(np.asarray(scores2), want, atol=1e-6)

@@ -151,9 +151,18 @@ def decode_attention(q, k_cache, v_cache, mask, *, n_kv_heads: int,
   # puts [T, block_s] f32 score/prob temps in scoped VMEM — at T=1536,
   # S=1664 that is a measured 29 MB scoped-vmem OOM on v5e (16 MB limit).
   # Decode (T<=8) keeps the single-block fast path bit-identically.
-  block_t = 8 if t <= 8 else min(128, -(-t // 8) * 8)
-  t_pad = -(-t // block_t) * block_t
-  num_t = t_pad // block_t
+  #
+  # Blocks are BALANCED across the T tiles rather than capped at 128:
+  # a fixed 128-cap made t just past a multiple of 128 (t=130) pad almost
+  # a full extra block of fully-masked rows (128+126 pad), nearly doubling
+  # QK/PV work for those shapes; splitting t over ceil(t/128) equal
+  # 8-aligned blocks (t=130 -> two 72-row blocks) pads at most 7 rows
+  # per block.
+  def ceil_div(a, d):
+    return -(-a // d)
+  num_t = ceil_div(t, 128)
+  block_t = max(8, ceil_div(ceil_div(t, num_t), 8) * 8)
+  t_pad = num_t * block_t
   if layout == "head_major":
     qf = q.transpose(2, 0, 1, 3).reshape(n * b, t, h)   # row r = h*B + b
   else:

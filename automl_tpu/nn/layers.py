@@ -279,9 +279,16 @@ class BatchNorm(nn.Module):
     }
 
   def _cross_replica_moments(self, x):
+    # The f32 cast feeds ONLY the two reduces, so XLA fuses convert+square
+    # into one f32-accumulating pass that reads the bf16 activation
+    # directly. (Round-4 D4 profile: when the f32 cast was shared with the
+    # normalize, XLA materialized full f32 activation copies — 2x the
+    # bytes of every BN-touching pass, e.g. a 100 MB f32[256,4,256,192]
+    # copy per stem BN per step.)
+    xf = jnp.asarray(x, jnp.float32)
     axes = tuple(range(x.ndim - 1))
-    mean = jnp.mean(x, axes)
-    mean_sq = jnp.mean(jnp.square(x), axes)
+    mean = jnp.mean(xf, axes)
+    mean_sq = jnp.mean(jnp.square(xf), axes)
     if self.axis_name is not None:
       if self.group_size is not None:
         # Grouped moments via all-gather + per-group slice (axis_index_groups
@@ -306,17 +313,24 @@ class BatchNorm(nn.Module):
 
   def apply(self, params, x, train: bool = False):
     policy = get_policy()
-    xf = jnp.asarray(x, jnp.float32)
     if train:
-      mean, var = self._cross_replica_moments(xf)
+      mean, var = self._cross_replica_moments(x)
       m = self.momentum
       nn.record_state("moving_mean", m * params["moving_mean"] + (1 - m) * mean)
       nn.record_state("moving_variance",
                       m * params["moving_variance"] + (1 - m) * var)
     else:
       mean, var = params["moving_mean"], params["moving_variance"]
+    # Folded normalize in the COMPUTE dtype: y = x*inv + (beta - mean*inv)
+    # with the [C]-sized scale/offset precomputed in f32. Keeping the big
+    # elementwise pass at the activation width (bf16 under mixed policy)
+    # removes the materialized f32 activation copies the round-4 D4
+    # profile exposed; statistics stay f32 (one fused pass above). Under a
+    # float32 policy this is bit-for-bit the same math up to one
+    # re-association.
     inv = jax.lax.rsqrt(var + self.epsilon) * params["gamma"]
-    y = (xf - mean) * inv + params["beta"]
+    offset = params["beta"] - mean * inv
+    y = x * inv.astype(x.dtype) + offset.astype(x.dtype)
     return policy.cast_to_compute(y)
 
 

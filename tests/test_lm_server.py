@@ -317,3 +317,65 @@ def test_server_composes_with_serve_tp_mesh():
     srv = LMServer(tp_model, params, max_batch=2, max_seq_len=64, burst=4)
     got = [r.tokens for r in srv.serve(reqs)]
   assert got == want, (got, want)
+
+
+def test_chunked_prefill_token_exact():
+  """Long prompts prefilled in chunks (interleaved with decode bursts)
+  produce byte-identical greedy output to whole-prompt prefill AND to
+  per-request greedy_generate."""
+  cfg, model, params = _tiny_model()
+  rng = np.random.RandomState(1)
+  prompts = [rng.randint(1, cfg.vocab_size, size=n).tolist()
+             for n in (45, 7, 70, 23)]
+  budgets = [9, 14, 6, 11]
+
+  plain = LMServer(model, params, max_batch=2, max_seq_len=128, burst=4)
+  chunked = LMServer(model, params, max_batch=2, max_seq_len=128, burst=4,
+                     prefill_chunk=16)
+  r_plain = plain.serve([GenRequest(p, m)
+                         for p, m in zip(prompts, budgets)])
+  r_chunk = chunked.serve([GenRequest(p, m)
+                           for p, m in zip(prompts, budgets)])
+  for i, (p, m) in enumerate(zip(prompts, budgets)):
+    want = _reference_tokens(model, params, p, m)
+    assert r_plain[i].tokens == want, f"plain req {i}"
+    assert r_chunk[i].tokens == want, f"chunked req {i}"
+  # the chunked server really did chunk: 45->3, 70->5, 23->2 chunk calls
+  kinds = [e["kind"] for e in chunked.timeline]
+  assert kinds.count("chunk") == 3 + 5 + 2, kinds
+
+
+def test_batched_prefill_group_token_exact():
+  """Several same-bucket prompts admitted together run ONE grouped
+  prefill call and stay token-exact."""
+  cfg, model, params = _tiny_model()
+  rng = np.random.RandomState(2)
+  prompts = [rng.randint(1, cfg.vocab_size, size=n).tolist()
+             for n in (12, 9, 11, 14)]  # all bucket 16
+  server = LMServer(model, params, max_batch=4, max_seq_len=128, burst=4)
+  results = server.serve([GenRequest(p, 8) for p in prompts])
+  for i, p in enumerate(prompts):
+    assert results[i].tokens == _reference_tokens(model, params, p, 8), i
+  # cold start: one grouped prefill for all four (group bucket = 4)
+  prefills = [e for e in server.timeline if e["kind"] == "prefill"]
+  assert prefills and prefills[0]["group"] == 4, server.timeline
+
+
+def test_timeline_and_request_events():
+  """serve() records a device-call timeline + per-request first/done
+  indices (the latency-accounting contract the serve bench prices)."""
+  cfg, model, params = _tiny_model()
+  rng = np.random.RandomState(3)
+  prompts = [rng.randint(1, cfg.vocab_size, size=8).tolist()
+             for _ in range(3)]
+  server = LMServer(model, params, max_batch=2, max_seq_len=64, burst=2)
+  results = server.serve([GenRequest(p, 5) for p in prompts])
+  assert all(r is not None for r in results)
+  assert all(e["kind"] in ("prefill", "chunk", "burst")
+             for e in server.timeline)
+  for i in range(3):
+    ev = server.request_events[i]
+    assert 0 < ev["first"] <= ev["done"] <= len(server.timeline), ev
+  # request 2 queued behind a full pool: its first token comes later
+  assert server.request_events[2]["first"] > \
+      server.request_events[0]["first"]

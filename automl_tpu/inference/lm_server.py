@@ -36,6 +36,11 @@ Design (TPU-first):
     completion indices so TTFT and completion latency can be priced with
     measured per-call device costs (wall clock through the shared tunnel
     is unreliable — PERF_NOTES measurement-integrity note).
+  * PREFIX CACHING: serve(requests, shared_prefix=ids) prefills the
+    shared prefix (system prompt) ONCE, then every admission seeds its
+    slot's cache from the template and prefills only its own suffix —
+    the per-request prefill cost drops from O(prefix+prompt) to
+    O(prompt). Token-exact vs serving prefix+prompt concatenations.
 
 Greedy output is token-exact against greedy_generate per request
 (tests/test_lm_server.py). Sampling params (temperature/top_k/top_p) and
@@ -118,24 +123,62 @@ class LMServer:
     self.prefill_chunk = int(prefill_chunk) if prefill_chunk else None
     self._rng = jax.random.key(seed)
     self._decode = jax.jit(self._decode_burst)
-    self._prefill_cache = {}  # (bucket, group) -> jitted batched prefill
+    self._prefill_cache = {}  # (bucket, group, P) -> jitted batched prefill
     self._chunk_cache = {}    # chunk length -> jitted chunk prefill
+    self._tpl_cache = {}      # prefix length -> jitted template prefill
 
   # -- prefill ---------------------------------------------------------------
 
-  def _prefill_fn(self, bucket: int, group: int):
+  def _prefill_fn(self, bucket: int, group: int, prefix_len: int = 0):
     """Batched prefill: `group` prompts (padded to `bucket`) in ONE forward.
 
     tokens [group, bucket], slots [group], true_lens [group] (0 = pad row:
     every write position parks at index S and is dropped). Returns
     (cache, last_logits [group, V]) where row g holds the logits of its
-    prompt's final real token."""
-    if (bucket, group) not in self._prefill_cache:
-      def prefill(params, cache, tokens, slots, true_lens):
-        pos = jnp.broadcast_to(jnp.arange(bucket)[None], (group, bucket))
-        tmp = self.model.init_cache(group, bucket)
+    prompt's final real token.
+
+    prefix_len P > 0 (prefix caching): tokens are the per-request SUFFIX
+    after the shared prefix; the forward attends over a temp cache seeded
+    with the prefix template KV (built once by _template_fn) and the
+    scatter writes template + suffix into the slot's row."""
+    if (bucket, group, prefix_len) not in self._prefill_cache:
+      P = prefix_len
+      span = P + bucket
+
+      def prefill(params, cache, tokens, slots, true_lens, tpl):
+        pos = jnp.broadcast_to(P + jnp.arange(bucket)[None],
+                               (group, bucket))
+        kv_pos = jnp.broadcast_to(jnp.arange(span)[None], (group, span))
+        if P:
+          tmp = []
+          for t in tpl:
+            if t["k"].ndim == 4:  # serve_tp head-leading [n_kv, 1, hd, P]
+              nkv, _, hd, _ = t["k"].shape
+              tmp.append(
+                  {"k": jnp.concatenate(
+                      [jnp.broadcast_to(t["k"], (nkv, group, hd, P)),
+                       jnp.zeros((nkv, group, hd, bucket), t["k"].dtype)],
+                      axis=-1),
+                   "v": jnp.concatenate(
+                      [jnp.broadcast_to(t["v"], (nkv, group, P, hd)),
+                       jnp.zeros((nkv, group, bucket, hd), t["v"].dtype)],
+                      axis=2)})
+              continue
+            nkv, hd, _ = t["k"].shape  # batch-major rank-3 [n_kv, hd, P]
+            tmp.append(
+                {"k": jnp.concatenate(
+                    [jnp.tile(t["k"], (group, 1, 1)),
+                     jnp.zeros((group * nkv, hd, bucket), t["k"].dtype)],
+                    axis=-1),
+                 "v": jnp.concatenate(
+                    [jnp.tile(t["v"], (group, 1, 1)),
+                     jnp.zeros((group * nkv, bucket, hd), t["v"].dtype)],
+                    axis=1)})
+          tmp = tuple(tmp)
+        else:
+          tmp = self.model.init_cache(group, bucket)
         logits, tmp = self.model(params, tokens, positions=pos, cache=tmp,
-                                 cache_index=0, kv_positions=pos)
+                                 cache_index=P, kv_positions=kv_pos)
         # Rank-3 batch-major cache (models/lm.py init_cache): k
         # [B*n_kv, hd, S], v [B*n_kv, S, hd]; slot b owns rows
         # b*n_kv .. (b+1)*n_kv. serve_tp stores head-leading rank-4
@@ -146,8 +189,10 @@ class LMServer:
         new_cache = cache
         for g in range(group):
           slot, true_len = slots[g], true_lens[g]
-          write = jnp.where(jnp.arange(bucket) < true_len,
-                            jnp.arange(bucket), self.S)
+          # pad rows (true_len == 0) park EVERYTHING — incl. the prefix
+          # template — at S, or they would corrupt slot 0
+          write = jnp.where((jnp.arange(span) < P + true_len)
+                            & (true_len > 0), jnp.arange(span), self.S)
           out_cache = []
           for big, t in zip(new_cache, tmp):
             if big["k"].ndim == 4:               # serve_tp head-leading
@@ -181,8 +226,24 @@ class LMServer:
         last = jnp.take_along_axis(
             logits, jnp.maximum(true_lens - 1, 0)[:, None, None], axis=1)
         return new_cache, last[:, 0]
-      self._prefill_cache[(bucket, group)] = jax.jit(prefill)
-    return self._prefill_cache[(bucket, group)]
+      self._prefill_cache[(bucket, group, prefix_len)] = jax.jit(prefill)
+    return self._prefill_cache[(bucket, group, prefix_len)]
+
+  def _template_fn(self, prefix_len: int):
+    """Prefill the shared prefix ONCE -> (template per-layer KV for one
+    row, last-token logits [V]). The template seeds every admission."""
+    if prefix_len not in self._tpl_cache:
+      P = prefix_len
+
+      def build(params, tokens):
+        pos = jnp.arange(P)[None]
+        cache = self.model.init_cache(1, P)
+        logits, cache = self.model(params, tokens, positions=pos,
+                                   cache=cache, cache_index=0,
+                                   kv_positions=pos)
+        return cache, logits[0, -1]
+      self._tpl_cache[prefix_len] = jax.jit(build)
+    return self._tpl_cache[prefix_len]
 
   def _chunk_prefill_fn(self, chunk: int):
     """One prefill CHUNK for one slot, against an in-place view of the
@@ -298,8 +359,17 @@ class LMServer:
 
   # -- serve loop ------------------------------------------------------------
 
-  def serve(self, requests: Sequence[GenRequest]) -> list[GenResult]:
-    """Run every request through the slot pool; returns results in order."""
+  def serve(self, requests: Sequence[GenRequest],
+            shared_prefix: Optional[Sequence[int]] = None
+            ) -> list[GenResult]:
+    """Run every request through the slot pool; returns results in order.
+
+    shared_prefix: optional token ids logically PREPENDED to every
+    request's prompt (a system prompt). Its KV is computed once and
+    seeded into each admission — per-request prefill cost drops to the
+    suffix only. Token-exact vs serving the concatenations. Requests
+    must then carry at least one own prompt token, and chunked prefill
+    applies only to non-prefix serving."""
     B, S = self.B, self.S
     queue = collections.deque(enumerate(requests))
     results: list[Optional[GenResult]] = [None] * len(requests)
@@ -320,11 +390,21 @@ class LMServer:
     self.timeline = []
     self.request_events = {i: {} for i in range(len(requests))}
 
+    tpl, tpl_P, pfx = None, 0, None
+    if shared_prefix is not None:
+      pfx = np.asarray(shared_prefix, np.int32)
+      tpl_P = int(pfx.shape[0])
+      tpl, _ = self._template_fn(tpl_P)(self.params,
+                                        jnp.asarray(pfx[None]))
+      self.timeline.append({"kind": "prefix", "len": tpl_P})
+    eff_prompts = {}  # ridx -> full (prefix + own) prompt list
+
     def finalize(ridx):
       toks = outputs[ridx]
       by_eos = (self.eos_id is not None and len(toks) > 0
                 and toks[-1] == self.eos_id)
-      seq = [int(t) for t in requests[ridx].prompt] + toks
+      seq = eff_prompts.get(
+          ridx, [int(t) for t in requests[ridx].prompt]) + toks
       by_stop = any(len(seq) >= len(ss) and seq[-len(ss):] == ss
                     for ss in self.stop_seqs)
       results[ridx] = GenResult(tokens=toks, finished_by_eos=by_eos,
@@ -374,11 +454,16 @@ class LMServer:
         ridx, req = queue.popleft()
         prompt = np.asarray(req.prompt, np.int32)
         lp = int(prompt.shape[0])
-        if lp + req.max_new_tokens > S:
+        if tpl is not None and lp < 1:
           raise ValueError(
-              f"request {ridx}: prompt ({lp}) + max_new_tokens "
-              f"({req.max_new_tokens}) exceeds max_seq_len ({S})")
-        if self.prefill_chunk and lp > self.prefill_chunk:
+              f"request {ridx}: shared_prefix serving needs at least one "
+              "own prompt token per request")
+        if tpl_P + lp + req.max_new_tokens > S:
+          raise ValueError(
+              f"request {ridx}: prefix ({tpl_P}) + prompt ({lp}) + "
+              f"max_new_tokens ({req.max_new_tokens}) exceeds "
+              f"max_seq_len ({S})")
+        if self.prefill_chunk and lp > self.prefill_chunk and tpl is None:
           pending[b] = {"ridx": ridx, "req": req, "prompt": prompt,
                         "start": 0}
           continue
@@ -394,14 +479,20 @@ class LMServer:
           tokens[i, :len(prompt)] = prompt
           slots[i] = b
           true_lens[i] = len(prompt)
-        cache, last_logits = self._prefill_fn(bucket, g)(
+        cache, last_logits = self._prefill_fn(bucket, g, tpl_P)(
             self.params, cache, jnp.asarray(tokens), jnp.asarray(slots),
-            jnp.asarray(true_lens))
+            jnp.asarray(true_lens), tpl if tpl is not None else ())
         self.timeline.append(
-            {"kind": "prefill", "bucket": bucket, "group": g})
+            {"kind": "prefill", "bucket": bucket, "group": g,
+             "prefix": tpl_P})
         last_np = np.asarray(last_logits)
         for i, (b, ridx, req, prompt) in enumerate(group):
-          activate(b, ridx, req, prompt, jnp.asarray(last_np[i]))
+          if tpl is not None:
+            eff_prompts[ridx] = [int(t) for t in pfx] + prompt.tolist()
+            full = np.concatenate([pfx, prompt])
+          else:
+            full = prompt
+          activate(b, ridx, req, full, jnp.asarray(last_np[i]))
 
       # Advance every pending chunked prefill by ONE chunk — decode
       # never stalls behind a long prompt for more than one chunk call.

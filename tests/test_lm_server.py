@@ -379,3 +379,46 @@ def test_timeline_and_request_events():
   # request 2 queued behind a full pool: its first token comes later
   assert server.request_events[2]["first"] > \
       server.request_events[0]["first"]
+
+
+def test_prefix_caching_token_exact():
+  """serve(requests, shared_prefix=p) computes the prefix KV ONCE and
+  must be token-exact vs serving the full concatenations (and vs
+  greedy_generate on prefix+prompt)."""
+  cfg, model, params = _tiny_model()
+  rng = np.random.RandomState(4)
+  prefix = rng.randint(1, cfg.vocab_size, size=19).tolist()
+  prompts = [rng.randint(1, cfg.vocab_size, size=n).tolist()
+             for n in (5, 12, 3, 9, 7)]
+  budgets = [8, 5, 11, 6, 9]
+
+  cached = LMServer(model, params, max_batch=2, max_seq_len=128, burst=4)
+  r_cached = cached.serve([GenRequest(p, m)
+                           for p, m in zip(prompts, budgets)],
+                          shared_prefix=prefix)
+  plain = LMServer(model, params, max_batch=2, max_seq_len=128, burst=4)
+  r_plain = plain.serve([GenRequest(prefix + p, m)
+                         for p, m in zip(prompts, budgets)])
+  for i, (p, m) in enumerate(zip(prompts, budgets)):
+    want = _reference_tokens(model, params, prefix + p, m)
+    assert r_cached[i].tokens == want, f"cached req {i}"
+    assert r_plain[i].tokens == want, f"plain req {i}"
+  # the template really was built once, and suffix buckets are SMALL
+  # (bucket for the longest suffix is 16, not 64 for prefix+prompt)
+  kinds = [e["kind"] for e in cached.timeline]
+  assert kinds.count("prefix") == 1
+  assert all(e.get("bucket", 0) <= 16 for e in cached.timeline
+             if e["kind"] == "prefill"), cached.timeline
+  # plain serving pays 32-token buckets for every admission
+  assert any(e.get("bucket", 0) >= 32 for e in plain.timeline
+             if e["kind"] == "prefill"), plain.timeline
+
+
+def test_prefix_caching_validations():
+  import pytest as _pytest
+  cfg, model, params = _tiny_model()
+  server = LMServer(model, params, max_batch=2, max_seq_len=64, burst=2)
+  with _pytest.raises(ValueError, match="at least one"):
+    server.serve([GenRequest([], 4)], shared_prefix=[1, 2, 3])
+  with _pytest.raises(ValueError, match="exceeds"):
+    server.serve([GenRequest([5], 60)], shared_prefix=[1, 2, 3, 4])

@@ -71,6 +71,14 @@ def parse_args(argv=None):
   p.add_argument("--mesh_model", type=int, default=0,
                  help="'model' mesh-axis size for --serve_mode "
                       "(0 = all available devices)")
+  p.add_argument("--system_prompt", default=None,
+                 help="shared prefix text prepended to every prompt; its "
+                      "KV is computed once (prefix caching) under "
+                      "--serve_slots")
+  p.add_argument("--prefill_chunk", type=int, default=0,
+                 help="chunked prefill: prompts longer than this prefill "
+                      "in chunks interleaved with decode bursts "
+                      "(--serve_slots only; 0 = whole-prompt prefill)")
   p.add_argument("--serve_slots", type=int, default=0,
                  help="N > 0: run ALL prompts through the continuous-"
                       "batching server (N decode slots over one KV cache; "
@@ -173,9 +181,12 @@ def _run(args):
         max_seq_len=int(config.seq_len), temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p, seed=args.seed,
         eos_id=(lm_pipeline.EOS_ID if args.stop_at_eos else None),
-        stop_sequences=stops, want_logprobs=args.logprobs)
+        stop_sequences=stops, want_logprobs=args.logprobs,
+        prefill_chunk=args.prefill_chunk or None)
     reqs = [GenRequest(tok.encode(t), args.max_new_tokens) for t in prompts]
-    for text, res in zip(prompts, server.serve(reqs)):
+    prefix = (list(tok.encode(args.system_prompt))
+              if args.system_prompt else None)
+    for text, res in zip(prompts, server.serve(reqs, shared_prefix=prefix)):
       completion = tok.decode(list(res.tokens))
       outputs.append(completion)
       print(f"=== {text!r}\n{completion}")

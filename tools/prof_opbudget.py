@@ -85,12 +85,41 @@ def main():
   args = ap.parse_args()
 
   import bench_suite as bs
+
+  def effnetv2s():
+    import jax, jax.numpy as jnp
+    from automl_tpu import nn
+    from automl_tpu.configs.effnet_configs import get_model_config
+    from automl_tpu.models import build_model
+    from automl_tpu.train import optimizers as opt_lib
+    from automl_tpu.train import train_lib
+    nn.set_policy("mixed_bfloat16")
+    cfg = get_model_config("efficientnetv2-s")
+    batch, size = 32, 300
+    model = build_model(cfg.model)
+    params = jax.jit(model.init)(jax.random.key(0))
+    tx = opt_lib.masked_for_params(
+        opt_lib.build_optimizer("rmsprop", 1e-3), params)
+    state = train_lib.create_train_state(params, tx)
+    step_fn = jax.jit(train_lib.make_cls_train_step(model, tx, cfg))
+    def mk(i):
+      return {"image": jax.random.normal(jax.random.key(i),
+                                         (batch, size, size, 3)),
+              "label": jax.nn.one_hot(jnp.arange(batch) % 1000, 1000)}
+    rng = jax.random.key(7)
+    state, _ = step_fn(state, mk(0), rng)
+    jax.block_until_ready(state.params)
+    args_list = [(state, mk(i + 1), rng) for i in range(6)]
+    return ((lambda s, b, r: step_fn(s, b, r)[1]["loss"]), args_list,
+            bs._step_flops(step_fn, state, mk(0), rng))
+
   build = {
       "d0": lambda: bs._det_train_step("efficientdet-d0", 16),
       "d4": lambda: bs._det_train_step("efficientdet-d4", 4),
       "d7x_train": lambda: bs._det_train_step(
           "efficientdet-d7x", 1,
           overrides=dict(optimizer="lion", grad_checkpoint=True)),
+      "effnetv2s": effnetv2s,
   }[args.workload]
   fn, call_args, flops = build()
   buckets, top_ops, step_ms = op_budget(fn, call_args, args.top)

@@ -134,9 +134,18 @@ def test_effnetv2_m_per_block_parity():
     nn.set_policy("mixed_bfloat16")
 
 
-@pytest.mark.parametrize("model_name", [
-    "efficientdet-d0", "efficientdet-d3", "efficientdet-lite0"])
-def test_effdet_var_map_covers_reference(model_name):
+@pytest.mark.parametrize("model_name,image_size,fpn_name", [
+    ("efficientdet-d0", 128, None),
+    ("efficientdet-d3", 128, None),
+    ("efficientdet-lite0", 128, None),
+    # flagship: max_level=8 (extra resample_p8 + 6-level heads,
+    # fpn_weight_method='sum' so no WSM vars) — ref hparams_config.py d7x
+    ("efficientdet-d7x", 256, None),
+    # qufpn DAG (ref fpn_configs.py:93-163 qufpn_config): different fnode
+    # count/offsets; exercises the generic fnode->name walk
+    ("efficientdet-d0", 128, "qufpn"),
+])
+def test_effdet_var_map_covers_reference(model_name, image_size, fpn_name):
   from automl_tpu.ckpt import tf_compat
   tf = tf_compat.reference_model_shim()
   edk = tf_compat.import_reference_module(
@@ -146,18 +155,79 @@ def test_effdet_var_map_covers_reference(model_name):
   import tf_keras
   tf_keras.backend.clear_session()
   cfg = hparams_config.get_efficientdet_config(model_name)
-  cfg.image_size = 128
+  cfg.image_size = image_size
+  overrides = {}
+  if fpn_name:
+    cfg.fpn_name = fpn_name
+    overrides["fpn_name"] = fpn_name
   ref = edk.EfficientDetNet(config=cfg)
-  ref(tf.zeros((1, 128, 128, 3)), training=False)
+  ref(tf.zeros((1, image_size, image_size, 3)), training=False)
   ref_names = {v.name[:-2] for v in ref.weights}
 
   from automl_tpu.models.efficientdet import build_detection_model
-  model = build_detection_model(model_name, image_size=128)
+  model = build_detection_model(model_name, image_size=image_size,
+                                **overrides)
   var_map = tf_compat.effdet_var_map(model)
   missing_in_map = ref_names - set(var_map)
   missing_in_ref = set(var_map) - ref_names
   assert not missing_in_map, sorted(missing_in_map)[:10]
   assert not missing_in_ref, sorted(missing_in_ref)[:10]
+
+
+def test_effdet_qufpn_logits_parity_with_reference():
+  """qufpn wiring parity: var names alone don't prove the quad-FPN DAG is
+  composed in the same order; compare full-model outputs. Default init is
+  degenerate (box outputs ~1e-14), so BN-calibrate first (momentum=0 +
+  one training pass, the test_ckpt_file_roundtrip recipe) and spread the
+  predict biases, then require parity on content-dependent outputs.
+  Ref: efficientdet/tf2/fpn_configs.py qufpn_config."""
+  from automl_tpu.ckpt import tf_compat
+  tf = tf_compat.reference_model_shim()
+  edk = tf_compat.import_reference_module(
+      "efficientdet", "tf2.efficientdet_keras")
+  hparams_config = tf_compat.import_reference_module(
+      "efficientdet", "hparams_config")
+  import tf_keras
+  tf_keras.backend.clear_session()
+  cfg = hparams_config.get_efficientdet_config("efficientdet-d0")
+  cfg.image_size = 128
+  cfg.fpn_name = "qufpn"
+  ref = edk.EfficientDetNet(config=cfg)
+  rng = np.random.RandomState(0)
+  x = rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32)
+  ref(tf.constant(x), training=False)  # build
+
+  for v in ref.weights:
+    if "predict" in v.name and "bias" in v.name:
+      v.assign(rng.uniform(-6.0, -1.0,
+                           v.shape).astype(v.dtype.as_numpy_dtype))
+  for layer in ref.submodules:
+    if hasattr(layer, "moving_mean") and hasattr(layer, "momentum"):
+      layer.momentum = 0.0
+  ref(tf.constant(x), training=True)  # moving stats := batch moments
+
+  ref_cls, ref_box = ref(tf.constant(x), training=False)
+  weights = {v.name[:-2]: v.numpy() for v in ref.weights}
+
+  from automl_tpu import nn
+  from automl_tpu.models.efficientdet import build_detection_model
+  nn.set_policy("float32")
+  try:
+    model = build_detection_model("efficientdet-d0", image_size=128,
+                                  fpn_name="qufpn")
+    params = tf_compat.convert_effdet_checkpoint(weights, model)
+    cls_out, box_out = model(params, x, train=False)
+  finally:
+    nn.set_policy("mixed_bfloat16")
+
+  assert len(cls_out) == len(ref_cls)
+  for lvl, (ours_c, ref_c, ours_b, ref_b) in enumerate(
+      zip(cls_out, ref_cls, box_out, ref_box)):
+    assert ref_c.numpy().std() > 1e-3, "degenerate golden"  # calibrated
+    np.testing.assert_allclose(np.asarray(ours_c), ref_c.numpy(),
+                               atol=5e-4, rtol=1e-3, err_msg=f"cls level {lvl}")
+    np.testing.assert_allclose(np.asarray(ours_b), ref_b.numpy(),
+                               atol=5e-4, rtol=1e-3, err_msg=f"box level {lvl}")
 
 
 @pytest.mark.parametrize("model_name", [

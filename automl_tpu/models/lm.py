@@ -110,6 +110,14 @@ def lm_defaults() -> Config:
                                   # dispatch one-hots are per group)
       moe_aux_loss_weight=0.01,   # Switch load-balance loss coefficient
       tie_embeddings=True,
+      fused_softmax_loss=False,   # chunked unembed+xent (lm_loss_fused):
+                                  # the [B, T, V] logits never materialize
+                                  # — peak train HBM 4.29 -> 1.50 GiB at
+                                  # 234M b8 T2048 V32k, ~2% slower whole-
+                                  # step (PERF_NOTES round 4). Turn on for
+                                  # big-vocab / long-seq / big-batch runs
+                                  # that otherwise OOM.
+      loss_chunk_size=256,        # T-chunk for the fused loss scan
       use_scan=True,
       use_remat=True,
       seq_len=2048,
@@ -946,7 +954,7 @@ class TransformerLM(Module):
 
   def apply(self, params, tokens, positions=None, segment_ids=None,
             cache=None, cache_index=None, kv_positions=None,
-            causal_attention=None, return_aux=False):
+            causal_attention=None, return_aux=False, return_hidden=False):
     """tokens: [B, T] int32. cache: optional per-layer tuple of
     {k, v: [B, S, n, h]} (from init_cache).
 
@@ -1065,14 +1073,13 @@ class TransformerLM(Module):
       new_cache = None
 
     x = self.final_norm(params["final_norm"], x)
-    if cfg.tie_embeddings:
-      logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
-                          _maybe_dequant(params["embed"], jnp.float32))
-    else:
-      logits = jnp.einsum("btd,dv->btv", x.astype(jnp.float32),
-                          _maybe_dequant(params["unembed"], jnp.float32))
-    if cfg.final_logit_cap:
-      logits = cfg.final_logit_cap * jnp.tanh(logits / cfg.final_logit_cap)
+    if return_hidden:
+      # Fused-loss path: the caller chunks unembed+xent itself
+      # (lm_loss_fused) so the [B, T, V] logits are never materialized.
+      if return_aux:
+        return x, new_cache, aux
+      return x, new_cache
+    logits = unembed_logits(params, x, cfg)
     if return_aux:
       return logits, new_cache, aux
     return logits, new_cache
@@ -1219,6 +1226,23 @@ def _maybe_dequant(w, dtype):
 # ---------------------------------------------------------------------------
 
 
+def unembed_logits(params, x, cfg):
+  """Final projection [B, T, d] -> f32 logits [B, T, V] (+ soft cap).
+
+  Shared by apply() and the chunked fused loss so both paths are the
+  same f32 math (ref: hero/model_lib.py:1100-1104 final projection and
+  logit cap)."""
+  if cfg.tie_embeddings:
+    logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
+                        _maybe_dequant(params["embed"], jnp.float32))
+  else:
+    logits = jnp.einsum("btd,dv->btv", x.astype(jnp.float32),
+                        _maybe_dequant(params["unembed"], jnp.float32))
+  if cfg.final_logit_cap:
+    logits = cfg.final_logit_cap * jnp.tanh(logits / cfg.final_logit_cap)
+  return logits
+
+
 def lm_loss(logits, targets, loss_weights=None):
   """Masked next-token xent (ref: hero/model_lib.py:1285-1304)."""
   logp = jax.nn.log_softmax(logits.astype(jnp.float32))
@@ -1227,6 +1251,48 @@ def lm_loss(logits, targets, loss_weights=None):
     return jnp.mean(nll)
   w = loss_weights.astype(jnp.float32)
   return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def lm_loss_fused(params, x, targets, cfg, loss_weights=None,
+                  chunk_size: int = 256):
+  """Chunked unembed + xent over hidden states — logits never materialize.
+
+  Same f32 math as `lm_loss(unembed_logits(params, x, cfg), ...)`, but
+  computed T-chunk at a time under jax.checkpoint: the forward keeps only
+  the running (sum_nll, sum_w) scalars and the backward recomputes each
+  chunk's [B, chunk, V] logits instead of loading a saved [B, T, V]
+  tensor. At b8 T2048 V32k the peak logits footprint drops 2.1 GB ->
+  262 MB (chunk 256), freeing HBM for batch and killing the full-size
+  f32 logit-cap/log-softmax passes over HBM. Use via
+  `apply(..., return_hidden=True)`; gated by cfg.fused_softmax_loss in
+  the trainer. Loss math ref: hero/model_lib.py:1285-1304."""
+  b, t, _ = x.shape
+  if loss_weights is None:
+    loss_weights = jnp.ones((b, t), jnp.float32)
+  # largest divisor of t that is <= chunk_size, so every scan step is the
+  # same static shape (no padded tail chunk)
+  cs = 1
+  for c in range(1, min(chunk_size, t) + 1):
+    if t % c == 0:
+      cs = c
+  n_chunks = t // cs
+
+  def to_chunks(a):
+    return jnp.moveaxis(a.reshape(b, n_chunks, cs, *a.shape[2:]), 1, 0)
+
+  def body(carry, inp):
+    xc, tc, wc = inp
+    logits = unembed_logits(params, xc, cfg)
+    logp = jax.nn.log_softmax(logits)
+    nll = -jnp.take_along_axis(logp, tc[..., None], axis=-1)[..., 0]
+    w = wc.astype(jnp.float32)
+    return (carry[0] + jnp.sum(nll * w), carry[1] + jnp.sum(w)), None
+
+  (sum_nll, sum_w), _ = jax.lax.scan(
+      jax.checkpoint(body),
+      (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+      (to_chunks(x), to_chunks(targets), to_chunks(loss_weights)))
+  return sum_nll / jnp.maximum(sum_w, 1.0)
 
 
 def distill_loss(student_logits, teacher_logits, loss_weights=None,

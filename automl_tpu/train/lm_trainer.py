@@ -88,7 +88,18 @@ def make_lm_train_step(model: lm_lib.TransformerLM, tx,
     aux_w = float(model.cfg.get("moe_aux_loss_weight", 0.0) or 0.0) \
         if model.cfg.get("moe_num_experts") else 0.0
 
+    fused = bool(model.cfg.get("fused_softmax_loss", False))
+    chunk = int(model.cfg.get("loss_chunk_size", 256))
+
     def loss_fn(params):
+      if fused:
+        # chunked unembed+xent: the [B, T, V] logits never materialize
+        # (lm_lib.lm_loss_fused) — same f32 math, T/chunk x less peak HBM
+        hidden, _, aux = model(params, inputs, segment_ids=segment_ids,
+                               causal_attention=causal_attention,
+                               return_aux=True, return_hidden=True)
+        return lm_lib.lm_loss_fused(params, hidden, targets, model.cfg,
+                                    weights, chunk) + aux_w * aux
       logits, _, aux = model(params, inputs, segment_ids=segment_ids,
                              causal_attention=causal_attention,
                              return_aux=True)

@@ -137,6 +137,62 @@ def test_lm_loss_masked():
   np.testing.assert_allclose(float(loss), np.log(8), rtol=1e-5)
 
 
+def test_fused_loss_matches_unfused_values_and_grads():
+  """lm_loss_fused == lm_loss(unembed_logits(...)) — loss AND grads — for
+  chunk sizes that divide T and ones that don't, with and without
+  loss_weights (the fused path never materializes [B, T, V])."""
+  cfg = tiny_cfg(seq_len=12, use_remat=False)
+  model = lm_lib.TransformerLM(cfg)
+  params = model.init(jax.random.key(0))
+  tokens = jax.random.randint(jax.random.key(1), (2, 13), 0, 64)
+  inputs, targets = tokens[:, :-1], tokens[:, 1:]
+  w = (jax.random.uniform(jax.random.key(2), (2, 12)) > 0.3).astype(
+      jnp.float32)
+
+  def unfused(p, weights):
+    logits, _ = model(p, inputs)
+    return lm_lib.lm_loss(logits, targets, weights)
+
+  def fused(p, weights, chunk):
+    hidden, _ = model(p, inputs, return_hidden=True)
+    return lm_lib.lm_loss_fused(p, hidden, targets, cfg, weights, chunk)
+
+  for weights in (None, w):
+    ref_loss, ref_grads = jax.value_and_grad(unfused)(params, weights)
+    for chunk in (4, 5, 12, 256):  # 5 forces the largest-divisor fallback
+      loss, grads = jax.value_and_grad(fused)(params, weights, chunk)
+      np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
+      jax.tree_util.tree_map(
+          lambda a, b: np.testing.assert_allclose(
+              np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7),
+          grads, ref_grads)
+
+
+def test_fused_loss_train_step_gate():
+  """fused_softmax_loss=True trains to the same loss as the default path
+  (same batch, same init, one step) through make_lm_train_step."""
+  import optax
+  from automl_tpu.train import lm_trainer
+  toks = jax.random.randint(jax.random.key(3), (2, 17), 0, 64)
+  batch = {"tokens": toks}
+  losses = []
+  for fused in (False, True):
+    cfg = tiny_cfg(fused_softmax_loss=fused, loss_chunk_size=8)
+    model = lm_lib.TransformerLM(cfg)
+    params = model.init(jax.random.key(0))
+    tx = optax.sgd(1e-2)
+    state = lm_trainer.LMTrainState(jnp.zeros((), jnp.int32), params,
+                                    tx.init(params))
+    step = jax.jit(lm_trainer.make_lm_train_step(model, tx))
+    state, logs = step(state, batch)
+    losses.append((float(logs["loss"]), state.params))
+  np.testing.assert_allclose(losses[0][0], losses[1][0], rtol=1e-6)
+  jax.tree_util.tree_map(
+      lambda a, b: np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7),
+      losses[0][1], losses[1][1])
+
+
 import pytest
 
 

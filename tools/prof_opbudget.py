@@ -113,6 +113,25 @@ def main():
     return ((lambda s, b, r: step_fn(s, b, r)[1]["loss"]), args_list,
             bs._step_flops(step_fn, state, mk(0), rng))
 
+  def lm(fused: bool):
+    import jax, jax.numpy as jnp
+    from automl_tpu.train import lm_trainer, optimizers as opt_lib
+    cfg, model, params = bs._lm_model()
+    if fused:
+      cfg.override(dict(fused_softmax_loss=True), allow_new_keys=True)
+    tx = opt_lib.build_optimizer("lion", 1e-3)
+    state = lm_trainer.LMTrainState(jnp.zeros((), jnp.int32), params,
+                                    tx.init(params))
+    step_fn = jax.jit(lm_trainer.make_lm_train_step(model, tx))
+    def mk(i):
+      return {"tokens": jax.random.randint(
+          jax.random.key(i), (8, cfg.seq_len + 1), 0, cfg.vocab_size)}
+    state, _ = step_fn(state, mk(0))
+    jax.block_until_ready(state.params)
+    args_list = [(state, mk(i + 1)) for i in range(6)]
+    return ((lambda s, b: step_fn(s, b)[1]["loss"]), args_list,
+            bs._lm_analytic_train_flops(cfg, 8))
+
   build = {
       "d0": lambda: bs._det_train_step("efficientdet-d0", 16),
       "d4": lambda: bs._det_train_step("efficientdet-d4", 4),
@@ -120,6 +139,8 @@ def main():
           "efficientdet-d7x", 1,
           overrides=dict(optimizer="lion", grad_checkpoint=True)),
       "effnetv2s": effnetv2s,
+      "lm": lambda: lm(False),
+      "lm_fused": lambda: lm(True),
   }[args.workload]
   fn, call_args, flops = build()
   buckets, top_ops, step_ms = op_budget(fn, call_args, args.top)

@@ -150,6 +150,18 @@ class DepthwiseConv2D(Conv2D):
 
   def apply(self, params, x):
     from automl_tpu.ops import depthwise
+    if (depthwise.forward_impl() == "shift"
+        and self.padding in ("SAME", "VALID")):
+      # shift-and-add form: no conv op, no grouped-conv backward reshapes
+      # (ops/depthwise.py depthwise_shift_and_add)
+      policy = get_policy()
+      kernel = policy.cast_to_compute(
+          quant.maybe_quant_kernel(params["kernel"]))
+      y = depthwise.depthwise_shift_and_add(
+          policy.cast_to_compute(x), kernel, self.strides, self.padding)
+      if self.use_bias:
+        y = y + policy.cast_to_compute(params["bias"])
+      return quant.maybe_quant_activation(y)
     if not depthwise.pallas_filter_grad_enabled():
       # default: plain XLA conv WITHOUT the custom_vjp wrapper — even a
       # pass-through custom_vjp boundary blocks XLA from fusing the

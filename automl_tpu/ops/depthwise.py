@@ -99,6 +99,76 @@ def depthwise_filter_grad(x, dy, k: int, stride: int,
   return out.reshape(k, k, 1, c)
 
 
+# ---------------------------------------------------------------------------
+# Shift-and-add depthwise forward (pure jnp — no conv op anywhere).
+# ---------------------------------------------------------------------------
+#
+# Motivation (round 4): the D0/D4 op budgets put LAYOUT COPIES at ~30% of
+# the train step, and the largest ones are {3,1,2,0}<->{0,3,2,1} relayouts
+# XLA inserts around the GROUPED-conv backward's 5-D reshapes (see
+# PERF_NOTES round 4 D4 budget). A depthwise conv is k*k shifted
+# elementwise multiply-adds; writing it that way (strided lax.slice of the
+# padded input * a [C] tap vector, accumulated in f32) removes the conv op
+# entirely: forward, dx (pads of dy) and dw (per-tap multiply-reduces) are
+# all plain fusible HLO with NO grouped-conv reshapes and NO custom_vjp
+# boundary. Depthwise convs are memory-bound (their FLOPs are negligible),
+# so losing the MXU costs nothing if the taps fuse into one pass.
+
+
+def depthwise_shift_and_add(x, kernel, strides=(1, 1), padding="SAME"):
+  """Depthwise conv as k*k shifted multiply-adds. NHWC, [kh,kw,1,C] kernel.
+
+  Matches jax.lax.conv_general_dilated(feature_group_count=C) for
+  SAME/VALID string padding, any stride, dilation 1, channel multiplier 1.
+  Accumulates taps in float32 and casts back to x.dtype (the conv path's
+  MXU accumulation is f32 too).
+  """
+  kh, kw, mult, c = kernel.shape
+  if mult != 1 or c != x.shape[-1]:
+    raise ValueError(f"shift-and-add needs [kh,kw,1,C] kernel, got {kernel.shape}")
+  sh, sw = strides
+  n, h, w, _ = x.shape
+  if padding == "SAME":
+    (ph_lo, ph_hi) = _same_pads(h, kh, sh)
+    (pw_lo, pw_hi) = _same_pads(w, kw, sw)
+    xp = jnp.pad(x, ((0, 0), (ph_lo, ph_hi), (pw_lo, pw_hi), (0, 0)))
+  elif padding == "VALID":
+    xp = x
+  else:
+    raise ValueError(f"shift-and-add supports SAME/VALID, got {padding!r}")
+  hp, wp = xp.shape[1], xp.shape[2]
+  out_h = (hp - kh) // sh + 1
+  out_w = (wp - kw) // sw + 1
+  acc = None
+  for i in range(kh):
+    for j in range(kw):
+      xs = jax.lax.slice(
+          xp, (0, i, j, 0),
+          (n, i + (out_h - 1) * sh + 1, j + (out_w - 1) * sw + 1, c),
+          (1, sh, sw, 1))
+      term = xs.astype(jnp.float32) * kernel[i, j, 0, :].astype(jnp.float32)
+      acc = term if acc is None else acc + term
+  return acc.astype(x.dtype)
+
+
+# Trace-time impl selector for DepthwiseConv2D's forward (same caveat as
+# enable_pallas_filter_grad: not part of any jit cache key — set before the
+# first trace). "conv" = XLA grouped conv (default); "shift" = the
+# shift-and-add form above.
+_FORWARD_IMPL = "conv"
+
+
+def set_forward_impl(impl: str) -> None:
+  global _FORWARD_IMPL
+  if impl not in ("conv", "shift"):
+    raise ValueError(f"depthwise forward impl must be conv|shift, got {impl!r}")
+  _FORWARD_IMPL = impl
+
+
+def forward_impl() -> str:
+  return _FORWARD_IMPL
+
+
 # VMEM budget: the whole padded image + dy must fit (~16 MB/core). Above
 # this the XLA per-tap path is used instead (rare: only very large
 # single-image spatial dims).

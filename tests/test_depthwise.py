@@ -56,3 +56,52 @@ def test_default_off_and_toggle():
     assert depthwise.pallas_filter_grad_enabled()
   finally:
     depthwise.enable_pallas_filter_grad(False)
+
+
+@pytest.mark.parametrize("s,k,pad", [(1, 3, "SAME"), (2, 3, "SAME"),
+                                     (1, 5, "SAME"), (2, 5, "SAME"),
+                                     (1, 3, "VALID"), (2, 3, "VALID")])
+def test_shift_and_add_matches_conv_values_and_grads(s, k, pad):
+  """The shift-and-add forward must equal the XLA grouped conv — values AND
+  both gradients — incl. odd sizes (asymmetric SAME pads) and stride 2."""
+  rng = np.random.RandomState(2)
+  x = jnp.asarray(rng.randn(2, 13, 11, 8), jnp.float32)
+  ker = jnp.asarray(rng.randn(k, k, 1, 8), jnp.float32)
+
+  def loss(fn):
+    def f(x, ker):
+      return jnp.sum(jnp.sin(fn(x, ker)))
+    return f
+
+  conv = lambda x, kk: depthwise._dw_forward(x, kk, (s, s), pad)
+  shift = lambda x, kk: depthwise.depthwise_shift_and_add(x, kk, (s, s), pad)
+  y_conv, y_shift = conv(x, ker), shift(x, ker)
+  assert y_conv.shape == y_shift.shape
+  np.testing.assert_allclose(np.asarray(y_shift), np.asarray(y_conv),
+                             atol=1e-5, rtol=1e-5)
+  g_conv = jax.grad(loss(conv), argnums=(0, 1))(x, ker)
+  g_shift = jax.grad(loss(shift), argnums=(0, 1))(x, ker)
+  for a, b in zip(g_shift, g_conv):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_shift_and_add_layer_dispatch():
+  """DepthwiseConv2D routes through shift-and-add when the impl is set, and
+  the module output matches the default conv path exactly (f32)."""
+  from automl_tpu import nn
+  from automl_tpu.nn import layers
+
+  nn.set_policy("float32")
+  layer = layers.DepthwiseConv2D(8, kernel_size=3, strides=2)
+  params = layer.init(jax.random.key(0))
+  x = jnp.asarray(np.random.RandomState(3).randn(2, 9, 9, 8), jnp.float32)
+  y_conv = layer(params, x)
+  depthwise.set_forward_impl("shift")
+  try:
+    y_shift = layer(params, x)
+  finally:
+    depthwise.set_forward_impl("conv")
+  np.testing.assert_allclose(np.asarray(y_shift), np.asarray(y_conv),
+                             atol=1e-5, rtol=1e-5)
+  assert depthwise.forward_impl() == "conv"

@@ -139,6 +139,7 @@ def depthwise_shift_and_add(x, kernel, strides=(1, 1), padding="SAME"):
   hp, wp = xp.shape[1], xp.shape[2]
   out_h = (hp - kh) // sh + 1
   out_w = (wp - kw) // sw + 1
+  acc_dtype = jnp.float32 if _SHIFT_F32_ACCUM else x.dtype
   acc = None
   for i in range(kh):
     for j in range(kw):
@@ -146,11 +147,27 @@ def depthwise_shift_and_add(x, kernel, strides=(1, 1), padding="SAME"):
           xp, (0, i, j, 0),
           (n, i + (out_h - 1) * sh + 1, j + (out_w - 1) * sw + 1, c),
           (1, sh, sw, 1))
-      term = xs.astype(jnp.float32) * kernel[i, j, 0, :].astype(jnp.float32)
+      term = xs.astype(acc_dtype) * kernel[i, j, 0, :].astype(acc_dtype)
       acc = term if acc is None else acc + term
   return acc.astype(x.dtype)
 
 
+# f32 tap accumulation matches the conv path's MXU accumulation; setting
+# this False accumulates at the compute dtype (bf16 under the mixed policy)
+# — cheaper temps, ~1e-2-relative tap-sum noise.
+_SHIFT_F32_ACCUM = True
+
+
+# HONEST NEGATIVE (round 4, measured whole-step): D0 b16 train with
+# impl="shift" runs 135.8 ms vs 44.6 ms on the conv path (3.0x WORSE); a
+# bf16-accumulation variant is 146.8 ms. XLA materializes the per-tap
+# strided slices instead of fusing them into one stencil pass, so the k*k
+# taps cost k*k activation passes in BOTH directions — far more HBM
+# traffic than the grouped-conv custom call plus its relayout copies. The
+# ~30% copies bucket is cheaper than any user-space rewrite tried so far
+# (this, the Pallas filter-grad kernel, 1x1-as-einsum). Kept opt-in for
+# numerics work; do not enable for speed.
+#
 # Trace-time impl selector for DepthwiseConv2D's forward (same caveat as
 # enable_pallas_filter_grad: not part of any jit cache key — set before the
 # first trace). "conv" = XLA grouped conv (default); "shift" = the

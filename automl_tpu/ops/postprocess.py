@@ -37,10 +37,16 @@ PRE_NMS_CANDIDATES = 5000
 
 
 def nms_params(config) -> dict:
-  """Resolve method-dependent NMS defaults (ref: postprocess.py:178-189)."""
+  """Resolve method-dependent NMS defaults.
+
+  hard/gaussian follow the reference's graph path (postprocess.py:178-189);
+  linear and diou exist only on its host-numpy path, so their defaults come
+  from the nms_np dispatch (nms_np.py:147-150 linear: iou 0.3 / score 0.001;
+  nms_np.py:43,211-212 diou: iou 0.5, no score threshold)."""
   nc = config.nms_configs
   method = nc.get("method")
   if method in ("hard", None, ""):
+    method = "hard"
     sigma = 0.0
     iou_thresh = nc.get("iou_thresh") or 0.5
     score_thresh = nc.get("score_thresh") or float("-inf")
@@ -48,9 +54,17 @@ def nms_params(config) -> dict:
     sigma = nc.get("sigma") or 0.5
     iou_thresh = 0.5
     score_thresh = nc.get("score_thresh") or 0.001
+  elif method == "linear":
+    sigma = 0.0
+    iou_thresh = nc.get("iou_thresh") or 0.3
+    score_thresh = nc.get("score_thresh") or 0.001
+  elif method == "diou":
+    sigma = 0.0
+    iou_thresh = nc.get("iou_thresh") or 0.5
+    score_thresh = nc.get("score_thresh") or float("-inf")
   else:
     raise ValueError(f"Invalid nms method {method!r}")
-  return dict(sigma=float(sigma), iou_thresh=float(iou_thresh),
+  return dict(method=method, sigma=float(sigma), iou_thresh=float(iou_thresh),
               score_thresh=float(score_thresh),
               max_output_size=int(nc.get("max_output_size") or 100))
 
@@ -140,11 +154,11 @@ def _nms_one(boxes, scores, classes, p, per_class: bool):
   if per_class:
     idx, out_scores, valid = nms_lib.per_class_nms(
         boxes, scores, classes, p["max_output_size"], p["iou_thresh"],
-        p["sigma"], p["score_thresh"])
+        p["sigma"], p["score_thresh"], p.get("method"))
   else:
     idx, out_scores, valid = nms_lib.nms(
         boxes, scores, p["max_output_size"], p["iou_thresh"], p["sigma"],
-        p["score_thresh"])
+        p["score_thresh"], p.get("method"))
   return _gather_outputs(boxes, classes, idx, out_scores, valid)
 
 

@@ -178,6 +178,142 @@ def test_per_class_nms_keeps_overlapping_other_class():
   assert int(jnp.sum(valid2)) == 1
 
 
+# --- linear soft-NMS / DIoU-NMS vs numpy transcriptions of nms_np --------------
+#
+# linear and diou exist only on the reference's host-numpy path
+# (efficientdet/nms_np.py:129-193 soft_nms 'linear', :28-86 diou_nms; the
+# graph path raises, tf2/postprocess.py:189). The oracles below are fresh
+# transcriptions of those semantics, including the +1-pixel inclusive
+# coordinate convention nms_np uses for areas.
+
+
+def _np_iou_plus_one(b, boxes):
+  yy1 = np.maximum(b[0], boxes[:, 0]); xx1 = np.maximum(b[1], boxes[:, 1])
+  yy2 = np.minimum(b[2], boxes[:, 2]); xx2 = np.minimum(b[3], boxes[:, 3])
+  inter = np.maximum(yy2 - yy1 + 1, 0.0) * np.maximum(xx2 - xx1 + 1, 0.0)
+  a1 = (b[2] - b[0] + 1) * (b[3] - b[1] + 1)
+  a2 = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+  return inter / (a1 + a2 - inter)
+
+
+def np_linear_soft_nms(boxes, scores, iou_thresh, score_thresh):
+  """nms_np.soft_nms with method='linear' (nms_np.py:129-193), returning
+  (original indices, scores) in selection order."""
+  boxes = boxes.astype(np.float64).copy()
+  scores = scores.astype(np.float64).copy()
+  idx = np.arange(len(scores))
+  sel, sel_scores = [], []
+  while len(scores):
+    best = int(np.argmax(scores))
+    sel.append(int(idx[best])); sel_scores.append(scores[best])
+    iou = _np_iou_plus_one(boxes[best], boxes)
+    weight = np.ones_like(iou)
+    weight[iou > iou_thresh] -= iou[iou > iou_thresh]
+    scores = scores * weight
+    keep = np.ones(len(scores), bool)
+    keep[best] = False
+    keep &= scores >= score_thresh
+    boxes, scores, idx = boxes[keep], scores[keep], idx[keep]
+  return sel, sel_scores
+
+
+def np_diou_nms(boxes, scores, iou_thresh):
+  """nms_np.diou_nms (nms_np.py:28-86): hard suppression on
+  iou - center_dist^2 / enclosing_diag^2, score-descending order."""
+  boxes = boxes.astype(np.float64)
+  order = np.argsort(-scores)
+  cy = (boxes[:, 0] + boxes[:, 2]) / 2
+  cx = (boxes[:, 1] + boxes[:, 3]) / 2
+  keep = []
+  while order.size:
+    i = order[0]
+    keep.append(int(i))
+    rest = order[1:]
+    iou = _np_iou_plus_one(boxes[i], boxes[rest])
+    enc_h = np.maximum(boxes[i, 2], boxes[rest, 2]) - np.minimum(
+        boxes[i, 0], boxes[rest, 0])
+    enc_w = np.maximum(boxes[i, 3], boxes[rest, 3]) - np.minimum(
+        boxes[i, 1], boxes[rest, 1])
+    diou = iou - ((cy[i] - cy[rest]) ** 2 + (cx[i] - cx[rest]) ** 2) / (
+        enc_h ** 2 + enc_w ** 2 + 1e-10)
+    order = rest[diou <= iou_thresh]
+  return keep
+
+
+@pytest.mark.parametrize("iou_thresh,score_thresh", [
+    (0.3, 0.001),   # nms_np dispatch defaults for linear (nms_np.py:149-150)
+    (0.5, 0.05),
+])
+def test_linear_soft_nms_matches_nms_np(iou_thresh, score_thresh):
+  n, max_out = 64, 12
+  boxes = _random_boxes(7, n)
+  scores = jax.random.uniform(jax.random.key(8), (n,)) * 0.9 + 0.05
+  idx, out_scores, valid = nms_lib.nms(
+      boxes, scores, max_out, iou_thresh, 0.0, score_thresh, method="linear")
+  ref_idx, ref_scores = np_linear_soft_nms(
+      np.asarray(boxes), np.asarray(scores), iou_thresh, score_thresh)
+  k = min(len(ref_idx), max_out)
+  got_valid = int(jnp.sum(valid))
+  assert got_valid == k, (got_valid, k)
+  np.testing.assert_array_equal(np.asarray(idx)[:k], ref_idx[:k])
+  np.testing.assert_allclose(np.asarray(out_scores)[:k], ref_scores[:k],
+                             rtol=1e-4)
+
+
+@pytest.mark.parametrize("iou_thresh", [0.5, 0.3])
+def test_diou_nms_matches_nms_np(iou_thresh):
+  n, max_out = 64, 16
+  boxes = _random_boxes(11, n)
+  scores = jax.random.uniform(jax.random.key(12), (n,))
+  idx, out_scores, valid = nms_lib.nms(
+      boxes, scores, max_out, iou_thresh, 0.0, method="diou")
+  ref_idx = np_diou_nms(np.asarray(boxes), np.asarray(scores), iou_thresh)
+  k = min(len(ref_idx), max_out)
+  got_valid = int(jnp.sum(valid))
+  assert got_valid == k, (got_valid, k)
+  np.testing.assert_array_equal(np.asarray(idx)[:k], ref_idx[:k])
+  # diou is hard suppression: selected scores are the original scores
+  np.testing.assert_allclose(np.asarray(out_scores)[:k],
+                             np.asarray(scores)[ref_idx[:k]], rtol=1e-5)
+
+
+def test_per_class_nms_diou_linear_no_cross_class_suppression():
+  # identical boxes, different classes: both survive under every method
+  boxes = jnp.array([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
+  scores = jnp.array([0.9, 0.8])
+  classes = jnp.array([0, 1])
+  for method in ("linear", "diou"):
+    _, _, valid = nms_lib.per_class_nms(
+        boxes, scores, classes, 2, iou_thresh=0.5,
+        score_thresh=0.001 if method == "linear" else float("-inf"),
+        method=method)
+    assert int(jnp.sum(valid)) == 2, method
+    # same class: suppressed/decayed to one
+    _, _, valid2 = nms_lib.nms(
+        boxes, scores, 2, iou_thresh=0.5,
+        score_thresh=0.001 if method == "linear" else float("-inf"),
+        method=method)
+    assert int(jnp.sum(valid2)) == 1, method
+
+
+def test_nms_params_dispatches_all_reference_methods():
+  """nms_configs.method linear/diou resolve (the reference accepts all four,
+  nms_np.py:206-216); defaults follow the nms_np dispatch."""
+  from automl_tpu.configs.efficientdet_configs import get_efficientdet_config
+  cfg = get_efficientdet_config("efficientdet-test")
+  for method, iou, score in [("hard", 0.5, float("-inf")),
+                             ("gaussian", 0.5, 0.001),
+                             ("linear", 0.3, 0.001),
+                             ("diou", 0.5, float("-inf"))]:
+    cfg.nms_configs.method = method
+    cfg.nms_configs.iou_thresh = None
+    cfg.nms_configs.score_thresh = None
+    p = postprocess.nms_params(cfg)
+    assert p["method"] == method
+    assert p["iou_thresh"] == iou
+    assert p["score_thresh"] == score
+
+
 # --- losses ------------------------------------------------------------------
 
 

@@ -33,6 +33,12 @@ def parse_args(argv=None):
   p.add_argument("--native_workers", type=int, default=4)
   p.add_argument("--eval_every", type=int, default=0,
                  help="steps between in-training evals (train_and_eval)")
+  p.add_argument("--testdev_dir", default=None,
+                 help="eval mode: skip ground truth and write the COCO-server "
+                      "submission JSON (detections_test-dev2017_*_results."
+                      "json) into this directory instead of computing AP "
+                      "(ref: efficientdet/coco_metric.py:119-133, "
+                      "main.py testdev_dir flag)")
   p.add_argument("--eval_timeout", type=float, default=0,
                  help="eval mode: watch the ckpt dir and evaluate each new "
                       "checkpoint until this many seconds pass with no new "
@@ -231,8 +237,9 @@ def main(argv=None):
         return None
       m = runners.evaluate_detection(
           model, state.ema_params or state.params, config, eval_iter(),
-          eval_steps)
-      print(f"step {step}:", {k: round(v, 4) for k, v in m.items()})
+          eval_steps, testdev_dir=args.testdev_dir)
+      print(f"step {step}:", {k: (round(v, 4) if isinstance(v, float) else v)
+                              for k, v in m.items()})
       return m
 
     if args.eval_timeout:

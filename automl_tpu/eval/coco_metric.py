@@ -238,6 +238,10 @@ class COCOEvaluator:
     """Consume [B, K, 7] device detections + padded gt arrays."""
     detections = np.asarray(detections)
     valid_len = np.asarray(valid_len).astype(int)
+    if gt_boxes is None:
+      gt_boxes = np.zeros((detections.shape[0], 0, 4))
+    if gt_classes is None:
+      gt_classes = np.zeros((detections.shape[0], 0), int)
     gt_boxes = np.asarray(gt_boxes)
     gt_classes = np.asarray(gt_classes)
     for i in range(detections.shape[0]):
@@ -246,3 +250,51 @@ class COCOEvaluator:
       crowd = None if gt_is_crowd is None else gt_is_crowd[i]
       self.add(d[0, 0] if n else i, d[:, 1:5], d[:, 5], d[:, 6],
                gt_boxes[i], gt_classes[i], crowd)
+
+  # -- COCO detection-results file / test-dev submission -------------------
+  #
+  # The reference's EvaluationMetric dumps accumulated detections to the
+  # COCO-server result format — per detection
+  # {image_id, category_id, bbox [x, y, w, h] @2dp, score @3dp} — under the
+  # mandated file name detections_test-dev2017_*_results.json
+  # (efficientdet/coco_metric.py:119-133; result rounding :125-127).
+
+  TESTDEV_FILENAME = "detections_test-dev2017_test_results.json"
+
+  def detection_results(self) -> list:
+    """Accumulated detections in COCO detection-results (xywh) format."""
+    rows = []
+    for (img, cls), lst in self._dets.items():
+      for s, b in lst:
+        ymin, xmin, ymax, xmax = (float(v) for v in b)
+        rows.append({
+            "image_id": int(img),
+            "category_id": int(cls),
+            "bbox": [round(xmin, 2), round(ymin, 2),
+                     round(xmax - xmin, 2), round(ymax - ymin, 2)],
+            "score": round(float(s), 3),
+        })
+    rows.sort(key=lambda r: (r["image_id"], -r["score"], r["category_id"]))
+    return rows
+
+  def write_detections_json(self, path: str) -> str:
+    """Write detection results; a directory path gets the reference's
+    mandated test-dev file name (coco_metric.py:128-131). Returns the file."""
+    import json
+    import os
+    if os.path.isdir(path) or not path.endswith(".json"):
+      os.makedirs(path, exist_ok=True)
+      path = os.path.join(path, self.TESTDEV_FILENAME)
+    with open(path, "w") as f:
+      json.dump(self.detection_results(), f)
+    return path
+
+  def add_detection_results(self, results) -> None:
+    """Reload detection_results()-format rows (dump -> reload round trip)."""
+    for r in results:
+      x, y, w, h = r["bbox"]
+      self._dets[(int(r["image_id"]), int(r["category_id"]))].append(
+          (float(r["score"]), np.array([y, x, y + h, x + w], np.float64)))
+      self._images.add(int(r["image_id"]))
+      self._classes.add(int(r["category_id"]))
+    self._eval_cache = None

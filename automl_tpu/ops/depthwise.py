@@ -179,6 +179,12 @@ def set_forward_impl(impl: str) -> None:
   global _FORWARD_IMPL
   if impl not in ("conv", "shift"):
     raise ValueError(f"depthwise forward impl must be conv|shift, got {impl!r}")
+  if impl == "shift" and _ENABLED:
+    import warnings
+    warnings.warn(
+        "depthwise forward impl 'shift' takes precedence over the enabled "
+        "Pallas filter-grad path (enable_pallas_filter_grad) — the Pallas "
+        "kernel will not run while impl == 'shift'", stacklevel=2)
   _FORWARD_IMPL = impl
 
 

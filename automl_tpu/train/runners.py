@@ -301,7 +301,7 @@ def evaluate_classification(model, params, config, eval_iter, eval_steps: int,
 def run_detection(config, model_dir: str, train_steps: int,
                   mesh_shape=None, data_iter=None, eval_iter=None,
                   eval_steps: int = 0, eval_every: int = 0,
-                  log_every: int = 50,
+                  log_every: int = 50, ckpt_every: int = 0,
                   init_backbone_ckpt=None, init_backbone_ema: bool = True,
                   profile: bool = False, seed: int = 0) -> dict:
   """Train EfficientDet; optional COCO eval at the end. Returns metrics.
@@ -310,6 +310,8 @@ def run_detection(config, model_dir: str, train_steps: int,
   backbone from (ref: det_model_fn.py:518-548 ckpt_var_scope restore).
   eval_iter: an iterator (single final eval) or a zero-arg factory returning
   a fresh iterator (required for eval_every in-training evals).
+  ckpt_every: periodic async checkpoint interval in steps, the reference's
+  save_checkpoints_steps (efficientdet/main.py:261); 0 = end/eval-only.
   """
   from automl_tpu.models.efficientdet import EfficientDet
   os.makedirs(model_dir, exist_ok=True)
@@ -417,6 +419,8 @@ def run_detection(config, model_dir: str, train_steps: int,
       profile_ctx.__exit__(None, None, None)
       profile_ctx = None
     step += 1
+    if ckpt_every and step % ckpt_every == 0 and step < train_steps:
+      mngr.save(step, ckpt_lib.state_for_save(state))
     rates = timer.tick(batch_size)
     if step % log_every == 0 or step == train_steps:
       m = {k: float(v) for k, v in jax.device_get(metrics).items()}
@@ -460,13 +464,19 @@ def run_detection(config, model_dir: str, train_steps: int,
 
 def evaluate_detection(model, params, config, eval_iter, eval_steps: int,
                        per_class: bool = False, vis_dir: str | None = None,
-                       vis_samples: int = 2, mesh=None) -> dict:
+                       vis_samples: int = 2, mesh=None,
+                       testdev_dir: str | None = None) -> dict:
   """COCO eval: device NMS -> host numpy COCOEvaluator.
 
   With vis_dir set, writes [detections | ground truth] side-by-side PNGs for
   the first `vis_samples` images of the first eval batch — the
   DisplayCallback / eval-image-summary analog (ref: tf2/train_lib.py:251-290,
   visualize/vis_utils.py:506).
+
+  With testdev_dir set, mirrors the reference's test-dev mode
+  (efficientdet/coco_metric.py:119-133): no ground truth is consumed, the
+  accumulated detections are written as the COCO-server submission JSON, and
+  the returned metrics are {'AP': -1.0} plus the written file path.
 
   Multi-process: pass the training `mesh`. Each process feeds its local eval
   rows; inputs are assembled into global arrays (build_global_array), the
@@ -524,8 +534,12 @@ def evaluate_detection(model, params, config, eval_iter, eval_steps: int,
     # gt boxes are canvas coords; rescale to source coords like detections
     scale = np.asarray(batch.get("image_scale", 1.0),
                        np.float32).reshape(-1, 1, 1)
-    gt_boxes = np.asarray(batch["gt_boxes"], np.float32) * scale
-    gt_classes = np.asarray(batch["gt_classes"])
+    if testdev_dir is not None and "gt_boxes" not in batch:
+      gt_boxes = np.zeros((b, 0, 4), np.float32)  # test-dev: no ground truth
+      gt_classes = np.zeros((b, 0), np.int32)
+    else:
+      gt_boxes = np.asarray(batch["gt_boxes"], np.float32) * scale
+      gt_classes = np.asarray(batch["gt_classes"])
     if multiproc:
       from automl_tpu.parallel.distributed import build_global_array
       from jax.experimental import multihost_utils
@@ -543,6 +557,12 @@ def evaluate_detection(model, params, config, eval_iter, eval_steps: int,
       _write_eval_images(batch, np.asarray(dets)[row0:row0 + b],
                          np.asarray(valid)[row0:row0 + b],
                          vis_dir, vis_samples)
+  if testdev_dir is not None:
+    path = None
+    if jax.process_index() == 0:  # detections are globally replicated
+      path = evaluator.write_detections_json(testdev_dir)
+    # reference returns [-1.] in test-dev mode (coco_metric.py:132)
+    return {"AP": -1.0, "detections_json": path}
   return evaluator.compute()
 
 

@@ -216,6 +216,11 @@ def test_cls_ckpt_file_image_to_top5_golden(tmp_path):
   # distinguished from backend noise.
   diff = np.abs(ours - ref_logits)
   assert float(np.median(diff)) <= 0.05, float(np.median(diff))
+  # high-quantile band (ADVICE r4): a partial-restore bug shifting only a
+  # small subset of logits by ~0.2 passes median (ignores subsets) and max
+  # (0.25) — q99 keeps sensitivity to subset corruption while staying above
+  # the observed oneDNN noise tail (~0.13 under suite load).
+  assert float(np.quantile(diff, 0.99)) <= 0.15, float(np.quantile(diff, 0.99))
   assert float(diff.max()) <= 0.25, float(diff.max())
   top5_ours = set(np.argsort(-ours[0])[:5].tolist())
   top5_ref = set(np.argsort(-ref_logits[0])[:5].tolist())

@@ -95,6 +95,99 @@ def test_batch_ingestion_from_device_format():
   assert abs(m["AP"] - 1.0) < 1e-6
 
 
+# --- detection-results file / test-dev JSON dump ------------------------------
+
+
+def _randomized_evaluator(seed=0, images=6, classes=3):
+  rng = np.random.RandomState(seed)
+  ev = COCOEvaluator()
+  for img in range(1, images + 1):
+    # integer coordinates so the reference's 2-decimal bbox rounding
+    # (coco_metric.py:125-126) is exact and the round trip is bit-faithful
+    gt = rng.randint(0, 200, size=(4, 2))
+    gt = np.concatenate([gt, gt + rng.randint(20, 80, size=(4, 2))], axis=1)
+    gt_cls = rng.randint(1, classes + 1, size=4)
+    det = rng.randint(0, 200, size=(5, 2))
+    det = np.concatenate([det, det + rng.randint(20, 80, size=(5, 2))], axis=1)
+    # overlap some dets with gt so AP is non-trivial
+    det[:2] = gt[:2] + rng.randint(0, 8, size=(2, 4))
+    scores = np.round(rng.uniform(0.1, 0.99, size=5), 3)
+    det_cls = rng.randint(1, classes + 1, size=5)
+    det_cls[:2] = gt_cls[:2]
+    ev.add(img, det.astype(float), scores, det_cls,
+           gt.astype(float), gt_cls)
+  return ev
+
+
+def test_detection_results_coco_format(tmp_path):
+  """The submission artifact: COCO result rows under the mandated test-dev
+  file name (ref: efficientdet/coco_metric.py:119-133)."""
+  import json
+  ev = _randomized_evaluator()
+  path = ev.write_detections_json(str(tmp_path))
+  assert path.endswith("detections_test-dev2017_test_results.json")
+  rows = json.load(open(path))
+  assert len(rows) == 6 * 5
+  for r in rows:
+    assert set(r) == {"image_id", "category_id", "bbox", "score"}
+    assert len(r["bbox"]) == 4
+    assert r["bbox"][2] > 0 and r["bbox"][3] > 0  # xywh, not corners
+    assert 0 < r["score"] <= 1
+
+
+def test_detection_results_roundtrip_identical_ap(tmp_path):
+  """dump -> reload -> identical 12-metric AP vector."""
+  import json
+  ev = _randomized_evaluator(seed=3)
+  before = ev.compute()
+  assert before["AP"] > 0  # non-trivial workload
+  path = ev.write_detections_json(str(tmp_path / "results.json"))
+  rows = json.load(open(path))
+
+  ev2 = COCOEvaluator()
+  # reload GT only (empty det lists), then the dumped detections
+  for (img, cls), lst in ev._gts.items():
+    for box, crowd in lst:
+      ev2.add(img, np.zeros((0, 4)), [], [],
+              box[None], [cls], [crowd])
+  ev2.add_detection_results(rows)
+  after = ev2.compute()
+  assert set(before) == set(after)
+  for k in before:
+    assert abs(before[k] - after[k]) < 1e-9, (k, before[k], after[k])
+
+
+def test_evaluate_detection_testdev_mode(tmp_path):
+  """evaluate_detection(testdev_dir=...) writes the COCO-server submission
+  artifact and returns AP == -1, the reference's test-dev contract
+  (efficientdet/coco_metric.py:119-133)."""
+  import json
+  import jax
+  from automl_tpu import nn
+  from automl_tpu.configs.efficientdet_configs import get_efficientdet_config
+  from automl_tpu.data import pipeline
+  from automl_tpu.models.efficientdet import EfficientDet
+  from automl_tpu.train.runners import evaluate_detection
+
+  nn.set_policy("float32")
+  try:
+    cfg = get_efficientdet_config("efficientdet-test")
+    model = EfficientDet(cfg)
+    params = jax.jit(model.init)(jax.random.key(0))
+    it = iter(pipeline.SyntheticDetection(2, 64, max_instances=4,
+                                          num_classes=3, seed=0))
+    m = evaluate_detection(model, params, cfg, it, eval_steps=1,
+                           testdev_dir=str(tmp_path / "testdev"))
+    assert m["AP"] == -1.0
+    path = m["detections_json"]
+    assert path.endswith("detections_test-dev2017_test_results.json")
+    rows = json.load(open(path))
+    assert rows, "random weights should still emit detections"
+    assert set(rows[0]) == {"image_id", "category_id", "bbox", "score"}
+  finally:
+    nn.set_policy("mixed_bfloat16")
+
+
 # --- differential validation: independent slow-oracle matcher ----------------
 # A literal transcription of the pycocotools evaluateImg/accumulate protocol
 # (sequential triple-loop greedy matcher, full recompute per (area, maxDet) —

@@ -93,15 +93,18 @@ def test_shift_and_add_layer_dispatch():
   from automl_tpu.nn import layers
 
   nn.set_policy("float32")
-  layer = layers.DepthwiseConv2D(8, kernel_size=3, strides=2)
-  params = layer.init(jax.random.key(0))
-  x = jnp.asarray(np.random.RandomState(3).randn(2, 9, 9, 8), jnp.float32)
-  y_conv = layer(params, x)
-  depthwise.set_forward_impl("shift")
   try:
-    y_shift = layer(params, x)
+    layer = layers.DepthwiseConv2D(8, kernel_size=3, strides=2)
+    params = layer.init(jax.random.key(0))
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 9, 9, 8), jnp.float32)
+    y_conv = layer(params, x)
+    depthwise.set_forward_impl("shift")
+    try:
+      y_shift = layer(params, x)
+    finally:
+      depthwise.set_forward_impl("conv")
+    np.testing.assert_allclose(np.asarray(y_shift), np.asarray(y_conv),
+                               atol=1e-5, rtol=1e-5)
+    assert depthwise.forward_impl() == "conv"
   finally:
-    depthwise.set_forward_impl("conv")
-  np.testing.assert_allclose(np.asarray(y_shift), np.asarray(y_conv),
-                             atol=1e-5, rtol=1e-5)
-  assert depthwise.forward_impl() == "conv"
+    nn.set_policy("mixed_bfloat16")

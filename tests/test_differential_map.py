@@ -242,3 +242,97 @@ def test_differential_mini_map(model_name, tmp_path):
     # of borderline hard-NMS suppressions flip between runs even at d0;
     # the AP band above is the primary assertion
     assert unmatched <= 3, (unmatched, len(rs))
+
+
+def test_differential_map_canary_catches_1px_preprocess_bug(tmp_path):
+  """Sensitivity demonstration (round-4 verdict #8): the harness's AP band
+  is calibrated, so prove it has teeth — re-run the differential with ONE
+  known historical bug injected into our eval preprocess (dropping the
+  reference's f32-truncation scaled-size rule, the exact round-3 finding:
+  dataloader.py:115-127 computes sizes in float32 and truncates, so
+  330*(256/330) -> 255, not 256) and assert the band FAILS.
+
+  Every image is 330x330, a size where the rule fires, so the injected bug
+  resizes to a 256-row canvas instead of 255 on every image — a 1-pixel
+  geometry change end-to-end."""
+  import tensorflow as tf
+  from automl_tpu.ckpt import tf_compat
+  from automl_tpu.data import preprocessing as prep
+  tf_compat.reference_model_shim()
+
+  # synthetic rectangle scenes only, all at the truncation-triggering size
+  rng = np.random.RandomState(5)
+  images = []
+  for _ in range(6):
+    im = rng.randint(0, 80, (330, 330, 3), np.uint8)
+    for _ in range(rng.randint(2, 5)):
+      y0, x0 = rng.randint(0, 330 - 60, 2)
+      h, w = rng.randint(30, 120, 2)
+      im[y0:y0 + h, x0:x0 + w] = rng.randint(100, 255, 3)
+    images.append(im)
+
+  ref = _build_reference("efficientdet-d0", tf, images)
+  prefix = _write_raw_ckpt(tf, ref, str(tmp_path / "model.ckpt"))
+  ref_dets = []
+  for im in images:
+    boxes, scores, classes, valid = [
+        t.numpy() for t in ref(tf.constant(im[None].astype(np.uint8)),
+                               training=False)]
+    n = int(valid[0])
+    ref_dets.append((boxes[0, :n], scores[0, :n],
+                     classes[0, :n].astype(np.int32)))
+  rng = np.random.RandomState(1)
+  gts = []
+  for boxes, scores, classes in ref_dets:
+    k = max(2, min(8, int((scores > scores[0] * 0.5).sum())))
+    gb = boxes[:k] + rng.uniform(-4, 4, boxes[:k].shape)
+    gts.append((gb.astype(np.float32), classes[:k]))
+  ref_ap = _ap_vector(ref_dets, gts)
+  assert 0.02 < ref_ap["AP"] < 0.98, ref_ap
+
+  import jax
+  import jax.numpy as jnp
+
+  def buggy_eval_preprocess(image, out_size, mean=prep.MEAN_RGB,
+                            stddev=prep.STDDEV_RGB):
+    # identical recipe MINUS the f32-truncation rule: sizes computed the
+    # "obvious" float64 way and rounded — 330 -> 256, not 255
+    h, w, _ = image.shape
+    scale = min(out_size / h, out_size / w)
+    sh, sw = int(round(h * scale)), int(round(w * scale))
+    normalized = prep.normalize_image(image.astype(jnp.float32), mean, stddev)
+    scaled = jax.image.resize(normalized, (sh, sw, image.shape[-1]),
+                              method="bilinear", antialias=False)
+    out = jnp.zeros((out_size, out_size, image.shape[-1]), jnp.float32)
+    out = jax.lax.dynamic_update_slice(out, scaled, (0, 0, 0))
+    return out, 1.0 / scale
+
+  from automl_tpu import nn
+  from automl_tpu.inference.driver import ServingDriver
+  nn.set_policy("float32")
+  orig = prep.det_eval_preprocess
+  prep.det_eval_preprocess = buggy_eval_preprocess
+  try:
+    drv = ServingDriver(
+        "efficientdet-d0", mixed_precision=False, post_mode="global",
+        hparams=f"image_size={SIZE},nms_configs.method=hard")
+    drv.load_tf(prefix, use_ema=False)
+    our_dets = []
+    for im in images:
+      out = drv.serve(im[None])
+      n = int(out["valid_len"][0])
+      our_dets.append((out["boxes"][0, :n], out["scores"][0, :n],
+                       out["classes"][0, :n].astype(np.int32)))
+  finally:
+    prep.det_eval_preprocess = orig
+    nn.set_policy("mixed_bfloat16")
+
+  our_ap = _ap_vector(our_dets, gts)
+  # THE assertion: the main test's band (abs diff < 0.01 on these keys)
+  # must TRIP under the injected bug
+  keys = ("AP", "AP50", "AP75", "APs", "APm", "APl",
+          "ARmax1", "ARmax10", "ARmax100")
+  broken = {k: (ref_ap[k], our_ap[k]) for k in keys
+            if abs(ref_ap[k] - our_ap[k]) >= 0.01}
+  assert broken, ("band did NOT catch the injected 1px bug",
+                  ref_ap, our_ap)

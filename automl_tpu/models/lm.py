@@ -120,6 +120,12 @@ def lm_defaults() -> Config:
       loss_chunk_size=256,        # T-chunk for the fused loss scan
       use_scan=True,
       use_remat=True,
+      remat_policy="full",        # "full" = recompute everything in bwd
+                                  # (hero's jax.remat, model_lib.py:1074);
+                                  # "dots" = jax dots_saveable policy: save
+                                  # matmul outputs, recompute elementwise
+                                  # only (see PERF_NOTES round 5 for the
+                                  # measured speed/HBM tradeoff)
       seq_len=2048,
       attn_logit_cap=ATTN_LOGIT_CAP,
       final_logit_cap=FINAL_LOGIT_CAP,
@@ -620,7 +626,9 @@ class Attention(Module):
         out = flash_attention(
             q, k, v, causal=True, window=cfg.window_size,
             logit_cap=cfg.attn_logit_cap or 0.0, sm_scale=1.0,
-            segment_ids=segment_ids)
+            segment_ids=segment_ids,
+            block_q=int(cfg.get("flash_block_q", 512) or 512),
+            block_k=int(cfg.get("flash_block_k", 512) or 512))
         out = jnp.einsum("bqnh,dnh->bqd", out.astype(adt), wo)
         return _constrain(out, sh.activation), new_cache
 
@@ -909,6 +917,25 @@ class TransformerBlock(Module):
 # ---------------------------------------------------------------------------
 
 
+def _remat_policy(cfg):
+  """cfg.remat_policy -> jax.checkpoint policy (None = recompute all).
+
+  "dots" saves every matmul output in the block (qkv/o projections, FFN
+  dots; the Pallas flash custom call is recomputed either way — it is not
+  a dot) so the backward scan re-runs only cheap elementwise work. The LM
+  op budget showed full recompute costs ~21% of the 234M b8 T2048 step
+  (PERF_NOTES round 5)."""
+  name = (cfg.get("remat_policy") or "full") if hasattr(cfg, "get") else "full"
+  if name in ("full", None, ""):
+    return None
+  if name == "dots":
+    return jax.checkpoint_policies.dots_saveable
+  if name == "dots_no_batch":
+    return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+  raise ValueError(f"unknown remat_policy {name!r} "
+                   "(expected full | dots | dots_no_batch)")
+
+
 class TransformerLM(Module):
   """apply(params, tokens, positions=None, segment_ids=None) -> logits.
 
@@ -1047,7 +1074,7 @@ class TransformerLM(Module):
                                        None, segment_ids=segs)
         return out, layer_aux
       if cfg.use_remat:
-        block_fn = jax.checkpoint(block_fn)
+        block_fn = jax.checkpoint(block_fn, policy=_remat_policy(cfg))
       x, aux = pipeline_blocks_sharded(
           x, params["blocks"], (positions, mask, segment_ids),
           block_fn=block_fn, mesh=jax.sharding.get_abstract_mesh(),
@@ -1060,7 +1087,7 @@ class TransformerLM(Module):
                                         segment_ids=segment_ids)
         return out, layer_aux
       if cfg.use_remat:
-        body = jax.checkpoint(body)
+        body = jax.checkpoint(body, policy=_remat_policy(cfg))
       x, layer_auxs = jax.lax.scan(body, x, params["blocks"])
       new_cache = None
       aux = jnp.sum(layer_auxs)

@@ -225,6 +225,100 @@ def bench_d7x_infer():
           "vs_baseline_v100_ms": 153, **_mfu_fields(flops, ms)}
 
 
+def _det_infer_ms(model_name: str, batch: int):
+  """Device-busy ms/call for infer + full on-device postprocess at the
+  model's native image size. Returns (ms, flops, image_size)."""
+  from automl_tpu import nn
+  from automl_tpu.models.efficientdet import build_detection_model
+  from automl_tpu.ops import postprocess
+  from automl_tpu.utils import parse_image_size
+
+  nn.set_policy("mixed_bfloat16")
+  model = build_detection_model(model_name)
+  params = jax.jit(model.init)(jax.random.key(0))
+  size = parse_image_size(model.config.image_size)[0]
+
+  @jax.jit
+  def infer(params, images):
+    cls_out, box_out = model(params, images, train=False)
+    return postprocess.postprocess_global(model.config, cls_out, box_out)
+
+  def img(i):
+    return jax.random.normal(jax.random.key(i), (batch, size, size, 3))
+
+  jax.block_until_ready(infer(params, img(0)))
+  args = [(params, img(i + 1)) for i in range(PROFILED_CALLS)]
+  flops = _step_flops(infer, params, img(0))
+  with tempfile.TemporaryDirectory() as d:
+    ms = device_busy_ms_per_call(infer, args, d)
+  return ms, flops, size
+
+
+# BASELINE.md V100 end-to-end rows (efficientdet/README.md:85-95): batch-1
+# latency ms and batch-8 FPS (no-TensorRT column); lite rows are Pixel-class
+# mobile latencies (README.md:114-121) — recorded for reference, not ratio.
+_V100_ROWS = {
+    "efficientdet-d0": (10.2, 209), "efficientdet-d1": (13.5, 140),
+    "efficientdet-d2": (17.7, 97), "efficientdet-d3": (28.0, 58),
+    "efficientdet-d4": (42.8, 35), "efficientdet-d5": (72.5, 18),
+    "efficientdet-d6": (92.8, None), "efficientdet-d7": (122.0, None),
+    "efficientdet-d7x": (153.0, None),
+}
+
+
+def bench_det_ladder():
+  """Every BASELINE.md detection row on-chip (verdict r4 #3): b1 latency +
+  b8 throughput (+MFU) for the d0-d7x family and lite0-4, and train rows
+  where the batch fits. OOM/compile failures are recorded per row."""
+  rows = []
+
+  def _try(fn, **tag):
+    try:
+      rows.append({**tag, **fn()})
+    except Exception as e:
+      rows.append({**tag, "error": f"{type(e).__name__}: {str(e)[:200]}"})
+
+  infer_models = [f"efficientdet-d{i}" for i in (1, 2, 3, 5, 6, 7)] + [
+      f"efficientdet-lite{i}" for i in range(5)]
+  for name in infer_models:
+    v100_b1, v100_b8 = _V100_ROWS.get(name, (None, None))
+
+    def b1(name=name, v100=v100_b1):
+      ms, flops, size = _det_infer_ms(name, 1)
+      r = {"ms_b1": round(ms, 2), "fps_b1": round(1000 / ms, 1),
+           "image_size": size, **_mfu_fields(flops, ms)}
+      if v100:
+        r["vs_baseline_v100_b1"] = round(v100 / ms, 2)
+      return r
+
+    _try(b1, model=name, kind="infer")
+    if v100_b8 or "lite" in name:  # b8 rows where the baseline has one
+      def b8(name=name, v100=v100_b8):
+        ms, flops, size = _det_infer_ms(name, 8)
+        r = {"ms_b8": round(ms, 2), "img_per_s_b8": round(8000 / ms, 1),
+             **_mfu_fields(flops, ms)}
+        if v100:
+          r["vs_baseline_v100_b8"] = round((8000 / ms) / v100, 2)
+        return r
+      _try(b8, model=name, kind="infer_b8")
+
+  # train rows at batches that fit one chip (d0 b16 / d4 b4 / d7x b1 are
+  # standing bench rows; these fill the gaps)
+  for name, batch in [("efficientdet-d1", 8), ("efficientdet-d2", 8),
+                      ("efficientdet-d3", 4), ("efficientdet-d5", 2),
+                      ("efficientdet-d6", 1)]:
+    def tr(name=name, batch=batch):
+      fn, args, flops = _det_train_step(name, batch)
+      with tempfile.TemporaryDirectory() as d:
+        ms = device_busy_ms_per_call(fn, args, d)
+      return {"ms_per_step": round(ms, 2), "batch": batch,
+              "img_per_s": round(batch / ms * 1000, 1),
+              **_mfu_fields(flops, ms)}
+    _try(tr, model=name, kind="train")
+
+  return {"metric": "det_ladder", "rows": rows}
+
+
 def bench_d7x_lion_train():
   fn, args, flops = _det_train_step("efficientdet-d7x", 1,
                                     overrides=dict(optimizer="lion",
@@ -623,6 +717,64 @@ def bench_lm_serve():
           **lat}
 
 
+def bench_lm_serve_long():
+  """Long-context serving across the decode-kernel S gate (verdict r4 #6).
+
+  The calibrated crossover says the Pallas decode kernel beats the rank-3
+  XLA dots at S>~766 (PERF_NOTES round 4) — but the composed production
+  path (continuous batching + chunked prefill + the gate actually
+  flipping) had only ever been benchmarked at S=512, below the gate. This
+  runs 16 requests with 768-1536-token prompts on a 2048-slot cache —
+  comfortably above the gate — twice: once with the calibrated gate
+  (kernel active) and once with the gate forced off (dots path), so the
+  composed kernel win (or loss) at the S the kernel was built for is a
+  measured number. TTFT/completion accounting identical to
+  bench_lm_serve (device-time module alignment)."""
+  from automl_tpu.inference.lm_server import GenRequest, LMServer
+
+  plens = [768, 1024, 1280, 1536] * 4
+  budgets = [128, 192, 256, 320] * 4
+  useful = sum(budgets)
+  prompts = [jax.random.randint(jax.random.key(i), (n,), 0, 32000)
+             for i, n in enumerate(plens)]
+
+  out = {"metric": "lm234m_serve_long_tok_per_s", "unit": "useful tok/s",
+         "requests": len(plens), "slots": 8, "max_seq_len": 2048,
+         "prompt_lens": "768-1536", "prefill_chunk": 256}
+  for label, min_s in (("kernel", 768), ("dots", 1 << 30)):
+    cfg, model, params = _lm_model(use_flash=False)
+    cfg.update(dict(decode_kernel_min_s=min_s))
+    server = LMServer(model, params, max_batch=8, max_seq_len=2048,
+                      burst=16, prefill_chunk=256)
+    reqs = [GenRequest(p, m) for p, m in zip(prompts, budgets)]
+    server.serve(reqs)  # compile chunk prefill + decode burst
+    with tempfile.TemporaryDirectory() as d:
+      events = _device_module_events(
+          lambda: server.serve(reqs)[-1].tokens, d)
+    serve_ms = sum(ms for _, ms in events)
+    out[f"{label}_tok_per_s"] = round(useful / serve_ms * 1000)
+    out[f"{label}_serve_ms"] = round(serve_ms, 1)
+    call_ms = [ms for name, ms in events
+               if "prefill" in name or "decode_burst" in name]
+    if len(call_ms) == len(server.timeline):
+      cum = np.cumsum([0.0] + call_ms)
+      ttfts = [float(cum[server.request_events[i]["first"]])
+               for i in range(len(reqs))]
+      comps = [float(cum[server.request_events[i]["done"]])
+               for i in range(len(reqs))]
+      out[f"{label}_ttft_ms_p50"] = round(_pct(ttfts, 50), 1)
+      out[f"{label}_ttft_ms_p95"] = round(_pct(ttfts, 95), 1)
+      out[f"{label}_completion_ms_p50"] = round(_pct(comps, 50), 1)
+    else:
+      out[f"{label}_latency_align_error"] = (
+          f"{len(call_ms)} call events vs {len(server.timeline)} timeline")
+  if out.get("dots_tok_per_s"):
+    out["value"] = out["kernel_tok_per_s"]
+    out["kernel_speedup_vs_dots"] = round(
+        out["kernel_tok_per_s"] / out["dots_tok_per_s"], 3)
+  return out
+
+
 def bench_lm_moe_vs_dense():
   """MoE at width (r2 verdict weak #6 / next #8): d1024 L4, 8 experts top-2
   expand-4 vs a DENSE expand-8 FFN — matched ACTIVE FLOPs per token
@@ -949,12 +1101,14 @@ WORKLOADS = {
     "effnetv2s_train": bench_effnetv2s_train,
     "d4_train": bench_d4_train,
     "d7x_infer": bench_d7x_infer,
+    "det_ladder": bench_det_ladder,
     "d7x_lion_train": bench_d7x_lion_train,
     "lm_train": bench_lm_train,
     "lm_decode": bench_lm_decode,
     "lm_decode_int8": bench_lm_decode_int8,
     "lm_spec_decode": bench_lm_spec_decode,
     "lm_serve": bench_lm_serve,
+    "lm_serve_long": bench_lm_serve_long,
     "lm_moe": bench_lm_moe_vs_dense,
     "infeed": bench_infeed,
     "infeed_train": bench_infeed_train,

@@ -221,6 +221,39 @@ def test_gspmd_sharded_train_step(combined_qkv):
     assert jax.tree_util.tree_structure(grads) == jax.tree_util.tree_structure(params)
 
 
+def test_remat_policy_values_and_grads_match():
+  """remat_policy full/dots/dots_no_batch and use_remat=False are the SAME
+  math — identical loss and grads; only the backward's save-vs-recompute
+  schedule differs (models/lm.py _remat_policy)."""
+  import pytest
+  tokens = jax.random.randint(jax.random.key(1), (2, 17), 0, 64)
+
+  def loss_and_grads(**kw):
+    cfg = tiny_cfg(**kw)
+    model = lm_lib.TransformerLM(cfg)
+    params = lm_lib.TransformerLM(tiny_cfg()).init(jax.random.key(0))
+
+    def loss_fn(params):
+      logits, _ = model(params, tokens[:, :-1])
+      return lm_lib.lm_loss(logits, tokens[:, 1:])
+
+    return jax.jit(jax.value_and_grad(loss_fn))(params)
+
+  ref_loss, ref_grads = loss_and_grads(use_remat=False)
+  for kw in (dict(use_remat=True),
+             dict(use_remat=True, remat_policy="dots"),
+             dict(use_remat=True, remat_policy="dots_no_batch")):
+    loss, grads = loss_and_grads(**kw)
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(ref_loss),
+                               rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4),
+        grads, ref_grads)
+  with pytest.raises(ValueError):
+    loss_and_grads(use_remat=True, remat_policy="bogus")
+
+
 def test_flash_attention_in_lm_matches_einsum():
   cfg = tiny_cfg(use_remat=False)
   cfg_flash = tiny_cfg(use_remat=False, use_flash_attention=True)

@@ -80,8 +80,10 @@ def op_budget(fn, args_list, top: int = 25):
 
 def main():
   ap = argparse.ArgumentParser()
-  ap.add_argument("workload", help="d0 | d4 | d7x_train | effnetv2s")
+  ap.add_argument("workload", help="d0 | d4 | d7x_train | effnetv2s | lm[_fused]")
   ap.add_argument("--top", type=int, default=25)
+  ap.add_argument("--batch", type=int, default=8,
+                  help="lm workloads: per-chip batch (default 8)")
   args = ap.parse_args()
 
   import bench_suite as bs
@@ -116,6 +118,7 @@ def main():
   def lm(fused: bool):
     import jax, jax.numpy as jnp
     from automl_tpu.train import lm_trainer, optimizers as opt_lib
+    batch = args.batch
     cfg, model, params = bs._lm_model()
     if fused:
       cfg.override(dict(fused_softmax_loss=True), allow_new_keys=True)
@@ -125,12 +128,12 @@ def main():
     step_fn = jax.jit(lm_trainer.make_lm_train_step(model, tx))
     def mk(i):
       return {"tokens": jax.random.randint(
-          jax.random.key(i), (8, cfg.seq_len + 1), 0, cfg.vocab_size)}
+          jax.random.key(i), (batch, cfg.seq_len + 1), 0, cfg.vocab_size)}
     state, _ = step_fn(state, mk(0))
     jax.block_until_ready(state.params)
     args_list = [(state, mk(i + 1)) for i in range(6)]
     return ((lambda s, b: step_fn(s, b)[1]["loss"]), args_list,
-            bs._lm_analytic_train_flops(cfg, 8))
+            bs._lm_analytic_train_flops(cfg, batch))
 
   build = {
       "d0": lambda: bs._det_train_step("efficientdet-d0", 16),

@@ -623,12 +623,19 @@ class Attention(Module):
         # Pallas flash kernel: full-sequence causal(+window) path
         # (training / prefill-without-cache; decode keeps the einsum path).
         from automl_tpu.ops.attention import flash_attention
+        # block_k=1024 default from the round-5 on-chip sweep: 273.5 ms vs
+        # 284.2 at 234M b8 T2048 (blocks are clamped to T for short seqs).
         out = flash_attention(
             q, k, v, causal=True, window=cfg.window_size,
             logit_cap=cfg.attn_logit_cap or 0.0, sm_scale=1.0,
             segment_ids=segment_ids,
             block_q=int(cfg.get("flash_block_q", 512) or 512),
-            block_k=int(cfg.get("flash_block_k", 512) or 512))
+            block_k=int(cfg.get("flash_block_k", 1024) or 1024))
+        # Name the flash output so remat_policy="dots_attn" can save it:
+        # the custom call is not a dot, so "dots" recomputes the whole
+        # flash forward in the bwd scan (~16 ms of the 234M b8 budget).
+        from jax.ad_checkpoint import checkpoint_name
+        out = checkpoint_name(out, "attn_out")
         out = jnp.einsum("bqnh,dnh->bqd", out.astype(adt), wo)
         return _constrain(out, sh.activation), new_cache
 
@@ -932,8 +939,14 @@ def _remat_policy(cfg):
     return jax.checkpoint_policies.dots_saveable
   if name == "dots_no_batch":
     return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+  if name == "dots_attn":
+    # dots + the named flash-attention output (see checkpoint_name tag in
+    # Attention): the bwd scan recomputes only cheap elementwise work.
+    return jax.checkpoint_policies.save_from_both_policies(
+        jax.checkpoint_policies.dots_saveable,
+        jax.checkpoint_policies.save_only_these_names("attn_out"))
   raise ValueError(f"unknown remat_policy {name!r} "
-                   "(expected full | dots | dots_no_batch)")
+                   "(expected full | dots | dots_no_batch | dots_attn)")
 
 
 class TransformerLM(Module):

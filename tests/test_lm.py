@@ -242,7 +242,8 @@ def test_remat_policy_values_and_grads_match():
   ref_loss, ref_grads = loss_and_grads(use_remat=False)
   for kw in (dict(use_remat=True),
              dict(use_remat=True, remat_policy="dots"),
-             dict(use_remat=True, remat_policy="dots_no_batch")):
+             dict(use_remat=True, remat_policy="dots_no_batch"),
+             dict(use_remat=True, remat_policy="dots_attn")):
     loss, grads = loss_and_grads(**kw)
     np.testing.assert_allclose(np.asarray(loss), np.asarray(ref_loss),
                                rtol=1e-6)
@@ -250,6 +251,17 @@ def test_remat_policy_values_and_grads_match():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4),
         grads, ref_grads)
+  # dots_attn's named save point is the FLASH output (checkpoint_name tag
+  # lives on the flash path only) — check grads parity there too.
+  f_loss, f_grads = loss_and_grads(use_remat=True, use_flash_attention=True)
+  a_loss, a_grads = loss_and_grads(use_remat=True, use_flash_attention=True,
+                                   remat_policy="dots_attn")
+  np.testing.assert_allclose(np.asarray(a_loss), np.asarray(f_loss),
+                             rtol=1e-6)
+  jax.tree_util.tree_map(
+      lambda a, b: np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4),
+      a_grads, f_grads)
   with pytest.raises(ValueError):
     loss_and_grads(use_remat=True, remat_policy="bogus")
 

@@ -284,7 +284,11 @@ def convert_effdet_checkpoint(ckpt, model, params=None, use_ema: bool = False,
     leaf = path[-1]
     want = node[leaf]
     try:
-      node[leaf] = jnp.asarray(setter(np.asarray(want), value), want.dtype)
+      new = np.asarray(setter(np.asarray(want), value))
+      if new.shape != want.shape:
+        raise ValueError(f"converted {tf_name} {value.shape} -> {new.shape}, "
+                         f"param leaf wants {want.shape}")
+      node[leaf] = jnp.asarray(new, want.dtype)
     except ValueError as e:
       raise ValueError(f"at {path}: {e}") from e
   if missing and strict:

@@ -339,10 +339,17 @@ class EfficientNet(Module):
 
     self.blocks: list[Module] = []
     for i, args in enumerate(blocks_args):
+      # First block consumes the STEM's actual output. With fix_head_stem
+      # (lite) the stem is unscaled while round_filters(input) would scale:
+      # the reference's lazily-built TF layers absorb the mismatch by
+      # building on actual shapes (efficientnet_model.py:512-513,653-659);
+      # with explicit param shapes we must pin block 0 to the stem width
+      # (lite3: stem 32 vs scaled 40 — caught by the round-5 ladder bench).
       a = dataclasses.replace(
           args,
-          input_filters=round_filters(args.input_filters, wc, div, mind,
-                                      round_down_protect=protect),
+          input_filters=stem_filters if i == 0 else
+          round_filters(args.input_filters, wc, div, mind,
+                        round_down_protect=protect),
           output_filters=round_filters(args.output_filters, wc, div, mind,
                                        round_down_protect=protect),
           num_repeat=round_repeats(

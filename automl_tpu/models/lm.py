@@ -630,7 +630,9 @@ class Attention(Module):
             logit_cap=cfg.attn_logit_cap or 0.0, sm_scale=1.0,
             segment_ids=segment_ids,
             block_q=int(cfg.get("flash_block_q", 512) or 512),
-            block_k=int(cfg.get("flash_block_k", 1024) or 1024))
+            block_k=int(cfg.get("flash_block_k", 1024) or 1024),
+            block_q_bwd=cfg.get("flash_block_q_bwd") or None,
+            block_k_bwd=cfg.get("flash_block_k_bwd") or None)
         # Name the flash output so remat_policy="dots_attn" can save it:
         # the custom call is not a dot, so "dots" recomputes the whole
         # flash forward in the bwd scan (~16 ms of the 234M b8 budget).

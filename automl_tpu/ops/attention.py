@@ -398,9 +398,10 @@ def _full_mask(t, causal, window, segment_ids=None):
   return mask
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
 def _flash(q, k, v, segs, n_heads, causal, window, logit_cap, sm_scale,
-           block_q, block_k, interpret):
+           block_q, block_k, block_q_bwd, block_k_bwd, interpret):
   out, _ = _flash_fwd_pallas(q, k, v, segs, n_heads=n_heads, causal=causal,
                              window=window, logit_cap=logit_cap,
                              sm_scale=sm_scale, block_q=block_q,
@@ -409,7 +410,7 @@ def _flash(q, k, v, segs, n_heads, causal, window, logit_cap, sm_scale,
 
 
 def _flash_fwd(q, k, v, segs, n_heads, causal, window, logit_cap, sm_scale,
-               block_q, block_k, interpret):
+               block_q, block_k, block_q_bwd, block_k_bwd, interpret):
   out, lse = _flash_fwd_pallas(q, k, v, segs, n_heads=n_heads, causal=causal,
                                window=window, logit_cap=logit_cap,
                                sm_scale=sm_scale, block_q=block_q,
@@ -418,13 +419,14 @@ def _flash_fwd(q, k, v, segs, n_heads, causal, window, logit_cap, sm_scale,
 
 
 def _flash_bwd(n_heads, causal, window, logit_cap, sm_scale, block_q, block_k,
-               interpret, res, g):
+               block_q_bwd, block_k_bwd, interpret, res, g):
   q, k, v, segs, out, lse = res
   delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
   dq, dk, dv = _flash_bwd_pallas(
       q, k, v, g, lse, delta, segs, n_heads=n_heads, causal=causal,
       window=window, logit_cap=logit_cap, sm_scale=sm_scale,
-      block_q=block_q, block_k=block_k, interpret=interpret)
+      block_q=block_q_bwd or block_q, block_k=block_k_bwd or block_k,
+      interpret=interpret)
   return dq, dk, dv, None
 
 
@@ -434,6 +436,8 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 def flash_attention(q, k, v, *, causal: bool = True, window: int | None = None,
                     logit_cap: float = 0.0, sm_scale: float | None = None,
                     segment_ids=None, block_q: int = 512, block_k: int = 512,
+                    block_q_bwd: int | None = None,
+                    block_k_bwd: int | None = None,
                     interpret: bool | None = None):
   """Multi-head flash attention.
 
@@ -442,6 +446,8 @@ def flash_attention(q, k, v, *, causal: bool = True, window: int | None = None,
   `logit_cap`: tanh soft-cap on attention logits (reference uses 50.0).
   `segment_ids`: optional [B, T] int32 — attention only within equal ids
   (packed sequences; ref: hero/model_lib.py:405-461 segment masking).
+  `block_q_bwd`/`block_k_bwd`: dq/dkv kernel blocks (None = fwd blocks) —
+  the bwd kernels' optimal tiling differs from the forward's.
   """
   b, t, n, h = q.shape
   nkv = k.shape[2]
@@ -466,7 +472,7 @@ def flash_attention(q, k, v, *, causal: bool = True, window: int | None = None,
                        f"got {segment_ids.shape}")
     segs = _seg_operands(segment_ids, n)
   out = _flash(qf, kf, vf, segs, n, causal, window, logit_cap, sm_scale,
-               block_q, block_k, interpret)
+               block_q, block_k, block_q_bwd, block_k_bwd, interpret)
   return out.reshape(b, n, t, h).transpose(0, 2, 1, 3)
 
 

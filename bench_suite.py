@@ -277,6 +277,7 @@ def bench_det_ladder():
       rows.append({**tag, **fn()})
     except Exception as e:
       rows.append({**tag, "error": f"{type(e).__name__}: {str(e)[:200]}"})
+    print("ROW", json.dumps(rows[-1]), flush=True)  # survive tunnel death
 
   infer_models = [f"efficientdet-d{i}" for i in (1, 2, 3, 5, 6, 7)] + [
       f"efficientdet-lite{i}" for i in range(5)]
@@ -351,22 +352,27 @@ def _lm_analytic_train_flops(cfg, batch: int) -> float:
   return 3.0 * (dot_fwd + attn_fwd)
 
 
-def _lm_model(use_flash: bool = True):
+def _lm_model(use_flash: bool = True, **overrides):
   from automl_tpu.models import lm as lm_lib
   cfg = lm_lib.lm_defaults()
   cfg.update(dict(model_dim=1024, n_layers=12, n_heads=8, n_kv_heads=8,
                   head_dim=128, vocab_size=32000, seq_len=2048,
-                  use_flash_attention=use_flash))
+                  use_flash_attention=use_flash, **overrides))
   model = lm_lib.TransformerLM(cfg, lm_lib.ShardingConfig.data_parallel())
   params = jax.jit(model.init)(jax.random.key(0))
   return cfg, model, params
 
 
 def bench_lm_train():
-  """234M-param LM train step b8 T2048 Lion (+ Pallas flash fwd/bwd)."""
+  """234M-param LM train step b8 T2048 Lion (+ Pallas flash fwd/bwd).
+
+  Runs the round-5 measured-best b8 composition: flash_block_k=1024
+  (the default) + remat_policy='dots' (266.5 ms / 50.2% MFU vs 284.2 /
+  47.0% with full recompute — PERF_NOTES round 5). dots fits at b8
+  (9.96 GiB temp HBM); large-batch runs need fused_softmax_loss."""
   from automl_tpu.train import lm_trainer, optimizers as opt_lib
 
-  cfg, model, params = _lm_model()
+  cfg, model, params = _lm_model(remat_policy="dots")
   tx = opt_lib.build_optimizer("lion", 1e-3)
   state = lm_trainer.LMTrainState(jnp.zeros((), jnp.int32), params,
                                   tx.init(params))

@@ -126,3 +126,32 @@ def test_flash_gradients_non_divisible_t():
     assert np.isfinite(np.asarray(a)).all()
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                atol=3e-4, rtol=1e-3)
+
+
+def test_flash_bwd_blocks_differ_from_fwd():
+  """block_q_bwd/block_k_bwd tile ONLY the dq/dkv kernels; grads must match
+  dense for bwd blocks that differ from the fwd blocks (incl. non-dividing
+  T on the bwd tiling)."""
+  q, k, v = _qkv(b=1, t=48, n=2, h=8)
+
+  def loss_dense(q, k, v):
+    return jnp.sum(jnp.square(dense_attention(q, k, v)))
+
+  g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+  for bq_bwd, bk_bwd in ((32, 8), (8, 32), (16, 16)):
+    def loss_flash(q, k, v):
+      return jnp.sum(jnp.square(flash_attention(
+          q, k, v, block_q=16, block_k=16,
+          block_q_bwd=bq_bwd, block_k_bwd=bk_bwd, interpret=True)))
+
+    out = flash_attention(q, k, v, block_q=16, block_k=16,
+                          block_q_bwd=bq_bwd, block_k_bwd=bk_bwd,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(dense_attention(q, k, v)),
+                               atol=2e-5)
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+      assert np.isfinite(np.asarray(a)).all()
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                 atol=3e-4, rtol=1e-3)

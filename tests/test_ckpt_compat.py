@@ -138,6 +138,11 @@ def test_effnetv2_m_per_block_parity():
     ("efficientdet-d0", 128, None),
     ("efficientdet-d3", 128, None),
     ("efficientdet-lite0", 128, None),
+    # lite3 scales width 1.2 with a FIXED stem: block-0 params must follow
+    # the stem's actual 32 channels, not round_filters(32)=40 (round-5 bug:
+    # the TF reference lazily builds on actual shapes and absorbs the
+    # mismatch; explicit param shapes must pin block 0 to the stem width)
+    ("efficientdet-lite3", 128, None),
     # flagship: max_level=8 (extra resample_p8 + 6-level heads,
     # fpn_weight_method='sum' so no WSM vars) — ref hparams_config.py d7x
     ("efficientdet-d7x", 256, None),
@@ -172,6 +177,11 @@ def test_effdet_var_map_covers_reference(model_name, image_size, fpn_name):
   missing_in_ref = set(var_map) - ref_names
   assert not missing_in_map, sorted(missing_in_map)[:10]
   assert not missing_in_ref, sorted(missing_in_ref)[:10]
+  # Name coverage alone doesn't prove SHAPES line up (the lite3 stem-width
+  # bug had full name coverage): run the conversion, whose row/leaf
+  # assignments raise on any mismatch.
+  weights = {v.name[:-2]: v.numpy() for v in ref.weights}
+  tf_compat.convert_effdet_checkpoint(weights, model)
 
 
 def test_effdet_qufpn_logits_parity_with_reference():

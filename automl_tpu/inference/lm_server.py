@@ -86,8 +86,28 @@ class LMServer:
                eos_id: Optional[int] = None, burst: int = 8, seed: int = 0,
                cast_weights: bool = True, stop_sequences=None,
                want_logprobs: bool = False,
-               prefill_chunk: Optional[int] = None):
+               prefill_chunk: Optional[int] = None,
+               use_decode_kernel: Optional[bool] = None):
     from automl_tpu.models.lm import cast_lm_params_for_serving
+    if use_decode_kernel is None:
+      use_decode_kernel = False
+    cfg0 = getattr(model, "cfg", None)
+    if (not use_decode_kernel and cfg0 is not None
+        and cfg0.get("use_decode_kernel", True)
+        # serve_tp/serve_sp decode IS the kernel (shard_map'd per head /
+        # per sequence shard) — the dots default is single-chip only
+        and not cfg0.get("serve_tp") and not cfg0.get("serve_sp")):
+      # The composed burst path defaults to the rank-3 XLA dots even above
+      # the isolated-call crossover (S~766): measured end-to-end at
+      # prompts 768-1536 on a 2048 cache, dots serves 1699 useful tok/s vs
+      # the kernel's 1220 (0.72x) — inside a 16-step burst jit XLA
+      # overlaps the dots across steps while 16 opaque pallas calls
+      # serialize (PERF_NOTES round 5). Pass use_decode_kernel=True to
+      # re-enable the kernel (it still wins per-call in isolation).
+      import copy
+      cfg0 = copy.deepcopy(cfg0)
+      cfg0.update(dict(use_decode_kernel=False))
+      model = type(model)(cfg0, getattr(model, "sh", None))
     if cast_weights and getattr(model, "cfg", None) is not None:
       # One-time f32 -> activation-dtype cast of the matmul weights:
       # the per-burst jit otherwise re-converts ~all weights every call

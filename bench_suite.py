@@ -279,7 +279,7 @@ def bench_det_ladder():
       rows.append({**tag, "error": f"{type(e).__name__}: {str(e)[:200]}"})
     print("ROW", json.dumps(rows[-1]), flush=True)  # survive tunnel death
 
-  infer_models = [f"efficientdet-d{i}" for i in (1, 2, 3, 5, 6, 7)] + [
+  infer_models = [f"efficientdet-d{i}" for i in (0, 1, 2, 3, 4, 5, 6, 7)] + [
       f"efficientdet-lite{i}" for i in range(5)]
   for name in infer_models:
     v100_b1, v100_b8 = _V100_ROWS.get(name, (None, None))
@@ -751,7 +751,8 @@ def bench_lm_serve_long():
     cfg, model, params = _lm_model(use_flash=False)
     cfg.update(dict(decode_kernel_min_s=min_s))
     server = LMServer(model, params, max_batch=8, max_seq_len=2048,
-                      burst=16, prefill_chunk=256)
+                      burst=16, prefill_chunk=256,
+                      use_decode_kernel=(label == "kernel"))
     reqs = [GenRequest(p, m) for p, m in zip(prompts, budgets)]
     server.serve(reqs)  # compile chunk prefill + decode burst
     with tempfile.TemporaryDirectory() as d:

@@ -422,3 +422,28 @@ def test_prefix_caching_validations():
     server.serve([GenRequest([], 4)], shared_prefix=[1, 2, 3])
   with _pytest.raises(ValueError, match="exceeds"):
     server.serve([GenRequest([5], 60)], shared_prefix=[1, 2, 3, 4])
+
+
+def test_server_decode_kernel_opt_in_token_exact():
+  """The server defaults to the rank-3 dots decode path (the composed
+  burst measurement beat the kernel end-to-end — PERF_NOTES round 5);
+  use_decode_kernel=True re-enables the Pallas kernel. Both must be
+  token-exact vs greedy_generate."""
+  cfg, model, params = _tiny_model()
+  cfg.update(dict(decode_kernel_min_s=16))  # let the kernel engage at S=64
+  rng = np.random.RandomState(1)
+  prompts = [rng.randint(1, cfg.vocab_size, size=n).tolist() for n in (5, 11)]
+  budgets = [7, 5]
+  reqs = lambda: [GenRequest(p, m) for p, m in zip(prompts, budgets)]
+
+  default = LMServer(model, params, max_batch=2, max_seq_len=64, burst=4)
+  # the default server rebuilt its model with the kernel disabled
+  assert not default.model.cfg.get("use_decode_kernel", True)
+  kernel = LMServer(model, params, max_batch=2, max_seq_len=64, burst=4,
+                    use_decode_kernel=True)
+  assert kernel.model.cfg.get("use_decode_kernel", True)
+  r_def, r_ker = default.serve(reqs()), kernel.serve(reqs())
+  for i, (p, m) in enumerate(zip(prompts, budgets)):
+    want = _reference_tokens(model, params, p, m)
+    assert r_def[i].tokens == want, f"dots request {i} diverged"
+    assert r_ker[i].tokens == want, f"kernel request {i} diverged"

@@ -12,6 +12,14 @@ Candidate flags were enumerated from this image's libtpu
 layout/fusion/VMEM levers; a setting this libtpu rejects is recorded as
 "rejected", a crash as "failed".
 
+Delivery mechanism (measured, round 5): XLA_FLAGS is parsed by the LOCAL
+jaxlib whose flag registry has no --xla_tpu_* flags (instant abort);
+under axon the TPU compile runs remotely and LIBTPU_INIT_ARGS IS
+forwarded to the tpu_compile_helper (a bogus flag fails that compile
+with HTTP 500, a real one compiles) — so the sweep sets
+LIBTPU_INIT_ARGS. The terminal overrides a small list of its own flags
+(the axon_host warns which; ours are not in it).
+
 Usage (on the chip):
   PYTHONPATH=/root/repo:/root/.axon_site python tools/flag_sweep.py d0
   python tools/flag_sweep.py d4 --settings scoped_vmem_64m,baseline
@@ -92,7 +100,8 @@ def main():
   for name, flags in settings:
     env = dict(os.environ)
     if flags:
-      env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
+      env["LIBTPU_INIT_ARGS"] = (
+          env.get("LIBTPU_INIT_ARGS", "") + " " + flags).strip()
     env.setdefault("PYTHONPATH", "/root/repo:/root/.axon_site")
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), args.workload, "--child"],
@@ -102,6 +111,7 @@ def main():
       err = (proc.stderr or "")[-400:]
       status = "rejected" if ("Unknown flag" in proc.stderr
                               or "unknown flag" in proc.stderr
+                              or "tpu_compile_helper subprocess" in proc.stderr
                               or "Illegal" in proc.stderr) else "failed"
       print(f"{name:32s} {status}: {err!r}", flush=True)
     else:

@@ -84,6 +84,8 @@ def main():
   ap.add_argument("--top", type=int, default=25)
   ap.add_argument("--batch", type=int, default=8,
                   help="lm workloads: per-chip batch (default 8)")
+  ap.add_argument("--remat", default=None,
+                  help="lm workloads: remat_policy override (full|dots|...)")
   args = ap.parse_args()
 
   import bench_suite as bs
@@ -119,7 +121,8 @@ def main():
     import jax, jax.numpy as jnp
     from automl_tpu.train import lm_trainer, optimizers as opt_lib
     batch = args.batch
-    cfg, model, params = bs._lm_model()
+    overrides = dict(remat_policy=args.remat) if args.remat else {}
+    cfg, model, params = bs._lm_model(**overrides)
     if fused:
       cfg.override(dict(fused_softmax_loss=True), allow_new_keys=True)
     tx = opt_lib.build_optimizer("lion", 1e-3)

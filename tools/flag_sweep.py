@@ -83,7 +83,7 @@ def main():
   ap.add_argument("--child", action="store_true")
   ap.add_argument("--settings", default=None,
                   help="comma-separated subset of setting names")
-  ap.add_argument("--timeout", type=int, default=900)
+  ap.add_argument("--timeout", type=int, default=1800)
   args = ap.parse_args()
 
   if args.child:
@@ -103,9 +103,16 @@ def main():
       env["LIBTPU_INIT_ARGS"] = (
           env.get("LIBTPU_INIT_ARGS", "") + " " + flags).strip()
     env.setdefault("PYTHONPATH", "/root/repo:/root/.axon_site")
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), args.workload, "--child"],
-        env=env, capture_output=True, text=True, timeout=args.timeout)
+    try:
+      proc = subprocess.run(
+          [sys.executable, os.path.abspath(__file__), args.workload,
+           "--child"],
+          env=env, capture_output=True, text=True, timeout=args.timeout)
+    except subprocess.TimeoutExpired:
+      print(f"{name:32s} timeout ({args.timeout}s)", flush=True)
+      results.append({"setting": name, "flags": flags, "status": "timeout",
+                      "ms": None})
+      continue
     status, ms = "ok", None
     if proc.returncode != 0:
       err = (proc.stderr or "")[-400:]

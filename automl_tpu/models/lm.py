@@ -22,6 +22,7 @@ so the same model code runs single-chip or on any mesh.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import jax
@@ -118,6 +119,15 @@ def lm_defaults() -> Config:
                                   # big-vocab / long-seq / big-batch runs
                                   # that otherwise OOM.
       loss_chunk_size=256,        # T-chunk for the fused loss scan
+      unembed_matmul_dtype="float32",  # "float32" | "bfloat16" |
+                                  # "bfloat16_vjp" — precision of the
+                                  # final [B,T,d]x[d,V] projection.
+                                  # f32 keeps sampled tokens bit-stable
+                                  # (serving); the bf16 modes are hero's
+                                  # own training precision (the ref runs
+                                  # this matmul at activation dtype,
+                                  # model_lib.py:1101,1296) — see
+                                  # unembed_logits for the variants.
       use_scan=True,
       use_remat=True,
       remat_policy="full",        # "full" = recompute everything in bwd
@@ -1268,18 +1278,77 @@ def _maybe_dequant(w, dtype):
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _unembed_mm_bf16(x, w, eq):
+  """bf16-operand / f32-accum unembed matmul with a bf16 backward.
+
+  Plain autodiff of a bf16 einsum transposes into MIXED f32xbf16 dots
+  (the f32 cotangent against the bf16 operand), which XLA upcasts back
+  to f32 matmuls — this vjp casts the cotangent to bf16 so all three
+  dots (fwd, dx, dw) run as bf16 MXU passes with f32 accumulation."""
+  return jnp.einsum(eq, x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+
+
+def _unembed_mm_bf16_fwd(x, w, eq):
+  out = _unembed_mm_bf16(x, w, eq)
+  # zero-size dtype carriers: residuals must be JAX types, not dtypes
+  return out, (x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+               jnp.zeros((0,), x.dtype), jnp.zeros((0,), w.dtype))
+
+
+def _unembed_mm_bf16_bwd(eq, res, g):
+  xb, wb, xdt_c, wdt_c = res
+  xdt, wdt = xdt_c.dtype, wdt_c.dtype
+  gb = g.astype(jnp.bfloat16)
+  if eq == "btd,vd->btv":  # tied embeddings: w is [V, d]
+    dx = jnp.einsum("btv,vd->btd", gb, wb,
+                    preferred_element_type=jnp.float32)
+    dw = jnp.einsum("btv,btd->vd", gb, xb,
+                    preferred_element_type=jnp.float32)
+  else:  # separate unembed: w is [d, V]
+    dx = jnp.einsum("btv,dv->btd", gb, wb,
+                    preferred_element_type=jnp.float32)
+    dw = jnp.einsum("btd,btv->dv", xb, gb,
+                    preferred_element_type=jnp.float32)
+  return dx.astype(xdt), dw.astype(wdt)
+
+
+_unembed_mm_bf16.defvjp(_unembed_mm_bf16_fwd, _unembed_mm_bf16_bwd)
+
+
 def unembed_logits(params, x, cfg):
   """Final projection [B, T, d] -> f32 logits [B, T, V] (+ soft cap).
 
   Shared by apply() and the chunked fused loss so both paths are the
-  same f32 math (ref: hero/model_lib.py:1100-1104 final projection and
-  logit cap)."""
-  if cfg.tie_embeddings:
-    logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
-                        _maybe_dequant(params["embed"], jnp.float32))
+  same math (ref: hero/model_lib.py:1100-1104 final projection and
+  logit cap). `cfg.unembed_matmul_dtype` picks the matmul precision:
+
+  - "float32" (default): f32 operands — bit-stable sampled tokens
+    (serving/token-exact tests depend on this).
+  - "bfloat16": bf16 operands, f32 accumulation, plain autodiff
+    (the backward dots are mixed f32xbf16 — XLA upcasts them).
+  - "bfloat16_vjp": bf16 operands + a custom vjp that casts the
+    cotangent to bf16 so ALL THREE dots run as bf16 MXU passes.
+
+  hero itself runs this matmul at the activation dtype and casts to
+  f32 only for log-softmax (model_lib.py:1101,1296) — the bf16 modes
+  are the reference-faithful training precision; the cap/log-softmax
+  stay f32 in every mode."""
+  w = params["embed"] if cfg.tie_embeddings else params["unembed"]
+  eq = "btd,vd->btv" if cfg.tie_embeddings else "btd,dv->btv"
+  mm_dtype = cfg.get("unembed_matmul_dtype", "float32") or "float32"
+  if mm_dtype == "float32":
+    logits = jnp.einsum(eq, x.astype(jnp.float32),
+                        _maybe_dequant(w, jnp.float32))
+  elif mm_dtype == "bfloat16":
+    logits = jnp.einsum(eq, x.astype(jnp.bfloat16),
+                        _maybe_dequant(w, jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+  elif mm_dtype == "bfloat16_vjp":
+    logits = _unembed_mm_bf16(x, _maybe_dequant(w, jnp.float32), eq)
   else:
-    logits = jnp.einsum("btd,dv->btv", x.astype(jnp.float32),
-                        _maybe_dequant(params["unembed"], jnp.float32))
+    raise ValueError(f"unknown unembed_matmul_dtype: {mm_dtype!r}")
   if cfg.final_logit_cap:
     logits = cfg.final_logit_cap * jnp.tanh(logits / cfg.final_logit_cap)
   return logits

@@ -266,6 +266,67 @@ def test_remat_policy_values_and_grads_match():
     loss_and_grads(use_remat=True, remat_policy="bogus")
 
 
+def test_unembed_matmul_dtype_modes():
+  """bfloat16 / bfloat16_vjp unembed modes: same loss/grads as f32 up to
+  bf16 rounding, grads flow to every param (incl. the tied embedding via
+  BOTH the gather and the custom-vjp matmul), and the default stays
+  bit-identical f32 (serving token-exactness depends on it)."""
+  import pytest
+  tokens = jax.random.randint(jax.random.key(1), (2, 17), 0, 64)
+
+  def loss_and_grads(**kw):
+    cfg = tiny_cfg(**kw)
+    model = lm_lib.TransformerLM(cfg)
+    # init with a cfg that matches the param tree (tie_embeddings changes
+    # it) but no unembed-dtype override, so tied runs share params with ref
+    init_cfg = tiny_cfg(tie_embeddings=cfg.tie_embeddings)
+    params = lm_lib.TransformerLM(init_cfg).init(jax.random.key(0))
+
+    def loss_fn(params):
+      logits, _ = model(params, tokens[:, :-1])
+      return lm_lib.lm_loss(logits, tokens[:, 1:])
+
+    return jax.jit(jax.value_and_grad(loss_fn))(params)
+
+  ref_loss, ref_grads = loss_and_grads()
+  d_loss, _ = loss_and_grads(unembed_matmul_dtype="float32")
+  assert float(d_loss) == float(ref_loss)  # explicit f32 == default
+  for mode in ("bfloat16", "bfloat16_vjp"):
+    for tie in (True, False):
+      loss, grads = loss_and_grads(unembed_matmul_dtype=mode,
+                                   tie_embeddings=tie)
+      if tie:  # same param tree as ref: compare against the f32 run
+        np.testing.assert_allclose(np.asarray(loss), np.asarray(ref_loss),
+                                   rtol=5e-2)
+        emb = np.asarray(grads["embed"])
+        ref_emb = np.asarray(ref_grads["embed"])
+        # direction parity: bf16 rounding, not a different gradient
+        cos = (emb * ref_emb).sum() / (
+            np.linalg.norm(emb) * np.linalg.norm(ref_emb) + 1e-12)
+        assert cos > 0.99, f"{mode} tied-embed grad diverged: cos={cos}"
+      assert bool(jnp.isfinite(loss))
+      leaves = jax.tree_util.tree_leaves(grads)
+      assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+      assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+  # fused chunked loss honors the knob too (shared unembed_logits)
+  cfg = tiny_cfg(unembed_matmul_dtype="bfloat16_vjp")
+  model = lm_lib.TransformerLM(cfg)
+  params = lm_lib.TransformerLM(tiny_cfg()).init(jax.random.key(0))
+
+  def fused_loss(params):
+    hidden, _ = model(params, tokens[:, :-1], return_hidden=True)
+    return lm_lib.lm_loss_fused(params, hidden, tokens[:, 1:], cfg,
+                                chunk_size=8)
+
+  floss, fgrads = jax.jit(jax.value_and_grad(fused_loss))(params)
+  np.testing.assert_allclose(np.asarray(floss), np.asarray(ref_loss),
+                             rtol=5e-2)
+  assert all(bool(jnp.isfinite(g).all())
+             for g in jax.tree_util.tree_leaves(fgrads))
+  with pytest.raises(ValueError):
+    loss_and_grads(unembed_matmul_dtype="int8")
+
+
 def test_flash_attention_in_lm_matches_einsum():
   cfg = tiny_cfg(use_remat=False)
   cfg_flash = tiny_cfg(use_remat=False, use_flash_attention=True)

@@ -60,6 +60,10 @@ def lm_defaults() -> Config:
       use_window_chunk=False, # chunked (blockwise 2-chunk) local attention
       window_chunk_size=None,
       use_flash_attention=False,  # Pallas kernel for train/prefill attention
+      flash_bwd_fused=True,       # one fused dq+dkv backward kernel (5
+                                  # matmul-units/tile vs split kernels' 7;
+                                  # bit-exact, 246.9 vs 257.9 ms at 234M
+                                  # b8 — PERF_NOTES round 5)
       use_decode_kernel=True,     # Pallas kernel for KV-cached decode
                                   # attention (ops/decode_attention.py) —
                                   # pins the cache layout, no relayout
@@ -642,7 +646,8 @@ class Attention(Module):
             block_q=int(cfg.get("flash_block_q", 512) or 512),
             block_k=int(cfg.get("flash_block_k", 1024) or 1024),
             block_q_bwd=cfg.get("flash_block_q_bwd") or None,
-            block_k_bwd=cfg.get("flash_block_k_bwd") or None)
+            block_k_bwd=cfg.get("flash_block_k_bwd") or None,
+            bwd_fused=bool(cfg.get("flash_bwd_fused", False)))
         # Name the flash output so remat_policy="dots_attn" can save it:
         # the custom call is not a dot, so "dots" recomputes the whole
         # flash forward in the bwd scan (~16 ms of the 234M b8 budget).
@@ -943,7 +948,13 @@ def _remat_policy(cfg):
   dots; the Pallas flash custom call is recomputed either way — it is not
   a dot) so the backward scan re-runs only cheap elementwise work. The LM
   op budget showed full recompute costs ~21% of the 234M b8 T2048 step
-  (PERF_NOTES round 5)."""
+  (PERF_NOTES round 5).
+
+  "dots_flash" additionally saves the flash kernel's (out, lse) residuals
+  (named inside ops/attention.py `_flash`), which makes the backward scan
+  skip the flash forward kernel entirely — a custom_vjp otherwise ALWAYS
+  re-runs its fwd under jax.checkpoint to regenerate residuals, no matter
+  the policy. Costs ~34 MB/layer at 234M b8 (out bf16 + lse f32)."""
   name = (cfg.get("remat_policy") or "full") if hasattr(cfg, "get") else "full"
   if name in ("full", None, ""):
     return None
@@ -951,14 +962,22 @@ def _remat_policy(cfg):
     return jax.checkpoint_policies.dots_saveable
   if name == "dots_no_batch":
     return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+  if name == "dots_flash":
+    return jax.checkpoint_policies.save_from_both_policies(
+        jax.checkpoint_policies.dots_saveable,
+        jax.checkpoint_policies.save_only_these_names(
+            "flash_out", "flash_lse"))
   if name == "dots_attn":
-    # dots + the named flash-attention output (see checkpoint_name tag in
-    # Attention): the bwd scan recomputes only cheap elementwise work.
+    # dots + the named flash-attention OUTPUT (post-vjp; see checkpoint_name
+    # tag in Attention). Kept for the measured round-5 negative: saving the
+    # output alone does NOT skip the fwd re-run (the bwd still needs the lse
+    # residual) — use "dots_flash" for that.
     return jax.checkpoint_policies.save_from_both_policies(
         jax.checkpoint_policies.dots_saveable,
         jax.checkpoint_policies.save_only_these_names("attn_out"))
-  raise ValueError(f"unknown remat_policy {name!r} "
-                   "(expected full | dots | dots_no_batch | dots_attn)")
+  raise ValueError(
+      f"unknown remat_policy {name!r} "
+      "(expected full | dots | dots_no_batch | dots_flash | dots_attn)")
 
 
 class TransformerLM(Module):

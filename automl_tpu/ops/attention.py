@@ -305,6 +305,133 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                      qseg_ref, kseg_ref, dqp_ref, dk_ref, dv_ref,
+                      dk_scr, dv_scr, *, block_q, block_k, num_q_blocks,
+                      causal, window, logit_cap, sm_scale, seq_len):
+  """One-pass backward: dq partials + dk/dv from a single s/p/ds recompute.
+
+  The split dq/dkv kernels each rebuild s = q k^T and dp = g v^T per tile —
+  7 matmul-units per tile total where 5 suffice. This kernel shares the
+  rebuild: grid (BN, k_blocks, q_blocks) with dk/dv accumulated in VMEM
+  scratch across q blocks (as in _bwd_dkv_kernel) while each step writes
+  its dq tile as an f32 PARTIAL into a [num_k, BN, T, H] buffer (every
+  (kj, b, qi) block is visited exactly once — no cross-step output
+  accumulation needed); the caller reduces over the leading num_k axis.
+  f32 partials keep dq bit-comparable to the split kernels' f32 scratch
+  accumulation."""
+  qi = pl.program_id(2)
+  kj = pl.program_id(1)
+
+  @pl.when(qi == 0)
+  def _init():
+    dk_scr[:] = jnp.zeros_like(dk_scr)
+    dv_scr[:] = jnp.zeros_like(dv_scr)
+
+  live = _block_live(qi, kj, block_q, block_k, causal, window)
+
+  @pl.when(live)
+  def _compute():
+    q = q_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    q_rows = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, 1), 0)
+    q_valid = q_rows < seq_len
+    q = jnp.where(q_valid, q, 0.0)
+    g = jnp.where(q_valid, g, 0.0)
+    k_rows = kj * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_k, 1), 0)
+    k_valid = k_rows < seq_len
+    k = jnp.where(k_valid, k, 0.0)
+    v = jnp.where(k_valid, v, 0.0)
+    lse = lse_ref[0, :, :1]
+    delta = delta_ref[0, :, :1]
+    mask = _block_mask(qi, kj, block_q, block_k, causal, window, seq_len,
+                       qseg_ref, kseg_ref)
+    mask &= q_valid  # pad q rows: lse/delta are garbage there
+    ds, p = _bwd_compute(q, k, v, g, lse, delta, mask,
+                         logit_cap=logit_cap, sm_scale=sm_scale)
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dk_scr[:] = dk_scr[:] + sm_scale * jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dqp_ref[0, 0] = sm_scale * jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+  @pl.when(jnp.logical_not(live))
+  def _dead():  # dq partial blocks are write-once: zero the dead ones
+    dqp_ref[0, 0] = jnp.zeros_like(dqp_ref[0, 0])
+
+  @pl.when(qi == num_q_blocks - 1)
+  def _finalize():
+    dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+    dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_fused_pallas(q, k, v, g, lse, delta, segs, *, n_heads, causal,
+                            window, logit_cap, sm_scale, block_q, block_k,
+                            interpret):
+  """Fused-backward dispatch: (dq, dk, dv) from ONE kernel (see above)."""
+  bn, t, h = q.shape
+  block_q = min(block_q, t)
+  block_k = min(block_k, t)
+  num_q = pl.cdiv(t, block_q)
+  num_k = pl.cdiv(t, block_k)
+  n = n_heads
+
+  lse_b = jnp.broadcast_to(lse[:, :, None], (bn, t, LANES))
+  delta_b = jnp.broadcast_to(delta[:, :, None], (bn, t, LANES))
+
+  qi_map = lambda b, j, i: (b, i, 0)
+  kj_map = lambda b, j, i: (b, j, 0)
+  in_specs = [
+      pl.BlockSpec((1, block_q, h), qi_map),
+      pl.BlockSpec((1, block_k, h), kj_map),
+      pl.BlockSpec((1, block_k, h), kj_map),
+      pl.BlockSpec((1, block_q, h), qi_map),
+      pl.BlockSpec((1, block_q, LANES), qi_map),
+      pl.BlockSpec((1, block_q, LANES), qi_map),
+  ]
+  operands = [q, k, v, g, lse_b, delta_b]
+  kernel = functools.partial(
+      _bwd_fused_kernel, block_q=block_q, block_k=block_k,
+      num_q_blocks=num_q, causal=causal, window=window,
+      logit_cap=logit_cap, sm_scale=sm_scale, seq_len=t)
+  if segs is not None:
+    in_specs += [
+        pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b // n, i, 0)),
+        pl.BlockSpec((1, SUBLANES, block_k), lambda b, j, i: (b // n, 0, j)),
+    ]
+    operands += list(segs)
+  else:
+    inner = kernel
+    kernel = lambda q_r, k_r, v_r, g_r, l_r, d_r, *rest: inner(
+        q_r, k_r, v_r, g_r, l_r, d_r, None, None, *rest)
+
+  dq_part, dk, dv = pl.pallas_call(
+      kernel,
+      grid=(bn, num_k, num_q),
+      in_specs=in_specs,
+      out_specs=[
+          pl.BlockSpec((1, 1, block_q, h), lambda b, j, i: (j, b, i, 0)),
+          pl.BlockSpec((1, block_k, h), kj_map),
+          pl.BlockSpec((1, block_k, h), kj_map),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((num_k, bn, t, h), jnp.float32),
+          jax.ShapeDtypeStruct((bn, t, h), k.dtype),
+          jax.ShapeDtypeStruct((bn, t, h), v.dtype),
+      ],
+      scratch_shapes=[pltpu.VMEM((block_k, h), jnp.float32),
+                      pltpu.VMEM((block_k, h), jnp.float32)],
+      interpret=interpret,
+  )(*operands)
+  dq = jnp.sum(dq_part, axis=0).astype(q.dtype)
+  return dq, dk, dv
+
+
 def _flash_bwd_pallas(q, k, v, g, lse, delta, segs, *, n_heads, causal,
                       window, logit_cap, sm_scale, block_q, block_k,
                       interpret):
@@ -398,39 +525,62 @@ def _full_mask(t, causal, window, segment_ids=None):
   return mask
 
 
+# Residual-style custom_vjp: the forward pallas kernel runs OUTSIDE the vjp
+# on stop_gradient'ed inputs, and its outputs (out, lse) enter `_flash_res`
+# as ordinary ARGUMENTS that the fwd rule captures as residuals. Why: under
+# jax.checkpoint a custom_vjp's fwd always re-runs in the backward pass to
+# regenerate residuals — no checkpoint policy can elide it (measured 16.4 ms
+# per 234M-b8 step as the "remat re-forward", PERF_NOTES round 5). With this
+# structure the residuals are checkpoint_name'd values in the PRIMAL jaxpr,
+# so a `save_only_these_names("flash_out", "flash_lse")` policy saves them
+# and the bwd recompute drops the fwd kernel entirely (the identity fwd rule
+# costs nothing). Policies that don't save the names recompute the fwd
+# kernel exactly as before — behavior-neutral otherwise.
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
-def _flash(q, k, v, segs, n_heads, causal, window, logit_cap, sm_scale,
-           block_q, block_k, block_q_bwd, block_k_bwd, interpret):
-  out, _ = _flash_fwd_pallas(q, k, v, segs, n_heads=n_heads, causal=causal,
-                             window=window, logit_cap=logit_cap,
-                             sm_scale=sm_scale, block_q=block_q,
-                             block_k=block_k, interpret=interpret)
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
+def _flash_res(q, k, v, segs, out, lse, n_heads, causal, window, logit_cap,
+               sm_scale, block_q_bwd, block_k_bwd, interpret, bwd_fused):
   return out
 
 
-def _flash_fwd(q, k, v, segs, n_heads, causal, window, logit_cap, sm_scale,
-               block_q, block_k, block_q_bwd, block_k_bwd, interpret):
-  out, lse = _flash_fwd_pallas(q, k, v, segs, n_heads=n_heads, causal=causal,
-                               window=window, logit_cap=logit_cap,
-                               sm_scale=sm_scale, block_q=block_q,
-                               block_k=block_k, interpret=interpret)
-  return out, (q, k, v, segs, out, lse[:, 0, :])
+def _flash_res_fwd(q, k, v, segs, out, lse, n_heads, causal, window,
+                   logit_cap, sm_scale, block_q_bwd, block_k_bwd, interpret,
+                   bwd_fused):
+  return out, (q, k, v, segs, out, lse)
 
 
-def _flash_bwd(n_heads, causal, window, logit_cap, sm_scale, block_q, block_k,
-               block_q_bwd, block_k_bwd, interpret, res, g):
+def _flash_res_bwd(n_heads, causal, window, logit_cap, sm_scale, block_q_bwd,
+                   block_k_bwd, interpret, bwd_fused, res, g):
   q, k, v, segs, out, lse = res
   delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-  dq, dk, dv = _flash_bwd_pallas(
+  bwd = _flash_bwd_fused_pallas if bwd_fused else _flash_bwd_pallas
+  dq, dk, dv = bwd(
       q, k, v, g, lse, delta, segs, n_heads=n_heads, causal=causal,
       window=window, logit_cap=logit_cap, sm_scale=sm_scale,
-      block_q=block_q_bwd or block_q, block_k=block_k_bwd or block_k,
-      interpret=interpret)
-  return dq, dk, dv, None
+      block_q=block_q_bwd, block_k=block_k_bwd, interpret=interpret)
+  # out/lse enter as stop_gradient'ed values — zero cotangents, dropped.
+  return dq, dk, dv, None, jnp.zeros_like(out), jnp.zeros_like(lse)
 
 
-_flash.defvjp(_flash_fwd, _flash_bwd)
+_flash_res.defvjp(_flash_res_fwd, _flash_res_bwd)
+
+
+def _flash(q, k, v, segs, n_heads, causal, window, logit_cap, sm_scale,
+           block_q, block_k, block_q_bwd, block_k_bwd, interpret,
+           bwd_fused=False):
+  sg = jax.lax.stop_gradient
+  segs_sg = None if segs is None else tuple(sg(s) for s in segs)
+  out, lse = _flash_fwd_pallas(sg(q), sg(k), sg(v), segs_sg, n_heads=n_heads,
+                               causal=causal, window=window,
+                               logit_cap=logit_cap, sm_scale=sm_scale,
+                               block_q=block_q, block_k=block_k,
+                               interpret=interpret)
+  from jax.ad_checkpoint import checkpoint_name
+  out = checkpoint_name(out, "flash_out")
+  lse = checkpoint_name(lse[:, 0, :], "flash_lse")
+  return _flash_res(q, k, v, segs, out, lse, n_heads, causal, window,
+                    logit_cap, sm_scale, block_q_bwd or block_q,
+                    block_k_bwd or block_k, interpret, bwd_fused)
 
 
 def flash_attention(q, k, v, *, causal: bool = True, window: int | None = None,
@@ -438,6 +588,7 @@ def flash_attention(q, k, v, *, causal: bool = True, window: int | None = None,
                     segment_ids=None, block_q: int = 512, block_k: int = 512,
                     block_q_bwd: int | None = None,
                     block_k_bwd: int | None = None,
+                    bwd_fused: bool = False,
                     interpret: bool | None = None):
   """Multi-head flash attention.
 
@@ -448,6 +599,9 @@ def flash_attention(q, k, v, *, causal: bool = True, window: int | None = None,
   (packed sequences; ref: hero/model_lib.py:405-461 segment masking).
   `block_q_bwd`/`block_k_bwd`: dq/dkv kernel blocks (None = fwd blocks) —
   the bwd kernels' optimal tiling differs from the forward's.
+  `bwd_fused`: one backward kernel producing dq partials + dk/dv from a
+  single s/p recompute per tile (5 matmul-units/tile vs the split
+  kernels' 7) — see _bwd_fused_kernel.
   """
   b, t, n, h = q.shape
   nkv = k.shape[2]
@@ -472,7 +626,8 @@ def flash_attention(q, k, v, *, causal: bool = True, window: int | None = None,
                        f"got {segment_ids.shape}")
     segs = _seg_operands(segment_ids, n)
   out = _flash(qf, kf, vf, segs, n, causal, window, logit_cap, sm_scale,
-               block_q, block_k, block_q_bwd, block_k_bwd, interpret)
+               block_q, block_k, block_q_bwd, block_k_bwd, interpret,
+               bwd_fused)
   return out.reshape(b, n, t, h).transpose(0, 2, 1, 3)
 
 

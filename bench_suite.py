@@ -366,13 +366,15 @@ def _lm_model(use_flash: bool = True, **overrides):
 def bench_lm_train():
   """234M-param LM train step b8 T2048 Lion (+ Pallas flash fwd/bwd).
 
-  Runs the round-5 measured-best b8 composition: flash_block_k=1024
-  (the default) + remat_policy='dots' (266.5 ms / 50.2% MFU vs 284.2 /
-  47.0% with full recompute — PERF_NOTES round 5). dots fits at b8
-  (9.96 GiB temp HBM); large-batch runs need fused_softmax_loss."""
+  Runs the round-5 measured-best b8 composition: flash_block_k=1024 +
+  fused flash backward (both defaults) + remat_policy='dots_flash'
+  (246.9 ms / 54.1% MFU; split-bwd dots_flash 257.9 / 51.8, 'dots'
+  alone 266.4 / 50.2, full recompute 284.2 / 47.0 — PERF_NOTES round
+  5). dots_flash fits at b8 (10.32 GiB temp HBM); large-batch runs
+  need fused_softmax_loss."""
   from automl_tpu.train import lm_trainer, optimizers as opt_lib
 
-  cfg, model, params = _lm_model(remat_policy="dots")
+  cfg, model, params = _lm_model(remat_policy="dots_flash")
   tx = opt_lib.build_optimizer("lion", 1e-3)
   state = lm_trainer.LMTrainState(jnp.zeros((), jnp.int32), params,
                                   tx.init(params))

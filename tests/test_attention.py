@@ -128,6 +128,51 @@ def test_flash_gradients_non_divisible_t():
                                atol=3e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("window,logit_cap", [(None, 0.0), (8, 50.0)])
+def test_flash_fused_bwd_gradients_match_dense(window, logit_cap):
+  """bwd_fused=True: one kernel emits dq partials + dk/dv from a single
+  s/p recompute; grads must match dense exactly like the split kernels."""
+  q, k, v = _qkv(b=1, t=32, n=2, h=8)
+
+  def loss_flash(q, k, v):
+    return jnp.sum(jnp.square(flash_attention(
+        q, k, v, window=window, logit_cap=logit_cap,
+        block_q=16, block_k=16, bwd_fused=True, interpret=True)))
+
+  def loss_dense(q, k, v):
+    return jnp.sum(jnp.square(dense_attention(
+        q, k, v, window=window, logit_cap=logit_cap)))
+
+  g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+  g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+  for a, b_ in zip(g1, g2):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                               atol=3e-4, rtol=1e-3)
+
+
+def test_flash_fused_bwd_segments_gqa_nondivisible():
+  """Fused backward with packed segments + GQA + T % block != 0 (pads):
+  the dq-partial buffer zeroes dead blocks, so pad/masked tiles must not
+  poison the sum-over-k reduction."""
+  q, k, v = _qkv(b=1, t=40, n=4, nkv=2, h=8)
+  seg = _segments(1, 40)
+
+  def loss_flash(q, k, v):
+    return jnp.sum(jnp.square(flash_attention(
+        q, k, v, segment_ids=seg, block_q=16, block_k=16,
+        bwd_fused=True, interpret=True)))
+
+  def loss_dense(q, k, v):
+    return jnp.sum(jnp.square(dense_attention(q, k, v, segment_ids=seg)))
+
+  g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+  g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+  for a, b_ in zip(g1, g2):
+    assert np.isfinite(np.asarray(a)).all()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                               atol=3e-4, rtol=1e-3)
+
+
 def test_flash_bwd_blocks_differ_from_fwd():
   """block_q_bwd/block_k_bwd tile ONLY the dq/dkv kernels; grads must match
   dense for bwd blocks that differ from the fwd blocks (incl. non-dividing

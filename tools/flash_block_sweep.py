@@ -33,7 +33,7 @@ POINTS = [
 ]
 
 
-def run_child(bq, bk, bqb, bkb) -> None:
+def run_child(bq, bk, bqb, bkb, remat="dots") -> None:
   sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
   import jax
   import jax.numpy as jnp
@@ -42,7 +42,7 @@ def run_child(bq, bk, bqb, bkb) -> None:
   from automl_tpu.train import lm_trainer, optimizers as opt_lib
 
   cfg, model, params = bs._lm_model(
-      remat_policy="dots", flash_block_q=bq, flash_block_k=bk,
+      remat_policy=remat, flash_block_q=bq, flash_block_k=bk,
       flash_block_q_bwd=bqb, flash_block_k_bwd=bkb)
   tx = opt_lib.build_optimizer("lion", 1e-3)
   state = lm_trainer.LMTrainState(jnp.zeros((), jnp.int32), params,
@@ -69,12 +69,16 @@ def main():
   ap = argparse.ArgumentParser()
   ap.add_argument("--child", default=None, help="bq,bk,bqb,bkb (0 = None)")
   ap.add_argument("--points", default=None)
+  ap.add_argument("--remat", default="dots",
+                  help="remat_policy for every point (e.g. dots_flash; "
+                  "the fused flash backward follows the model default)")
   ap.add_argument("--timeout", type=int, default=1500)
   args = ap.parse_args()
 
   if args.child:
-    vals = [int(x) or None for x in args.child.split(",")]
-    run_child(*vals)
+    vals = [int(x) or None for x in args.child.split(",")[:4]]
+    remat = (args.child.split(",")[4:] or ["dots"])[0]
+    run_child(*vals, remat=remat)
     return
 
   wanted = args.points.split(",") if args.points else None
@@ -83,7 +87,7 @@ def main():
       continue
     env = dict(os.environ)
     env.setdefault("PYTHONPATH", "/root/repo:/root/.axon_site")
-    spec = f"{bq},{bk},{bqb or 0},{bkb or 0}"
+    spec = f"{bq},{bk},{bqb or 0},{bkb or 0},{args.remat}"
     try:
       proc = subprocess.run(
           [sys.executable, os.path.abspath(__file__), "--child", spec],

@@ -42,7 +42,17 @@ def run_child(batch: int, fused: bool, remat: str) -> None:
   from bench import device_busy_ms_per_call
   from automl_tpu.train import lm_trainer, optimizers as opt_lib
 
-  overrides = dict(remat_policy=remat)
+  # remat accepts a "+bf"/"-bf" suffix to force the fused flash backward
+  # kernel (flash_bwd_fused) on/off, e.g. --child 8,False,dots_flash-bf
+  # for the split-kernel control (the model default is now fused=True).
+  overrides = {}
+  if remat.endswith("+bf"):
+    remat = remat[:-3]
+    overrides["flash_bwd_fused"] = True
+  elif remat.endswith("-bf"):
+    remat = remat[:-3]
+    overrides["flash_bwd_fused"] = False
+  overrides["remat_policy"] = remat
   if fused:
     overrides.update(fused_softmax_loss=True, loss_chunk_size=256)
   cfg, model, params = bs._lm_model(**overrides)

@@ -1425,6 +1425,27 @@ def lm_loss_fused(params, x, targets, cfg, loss_weights=None,
   return sum_nll / jnp.maximum(sum_w, 1.0)
 
 
+def lm_loss_fused_pallas(params, x, targets, cfg, loss_weights=None):
+  """Pallas fused unembed + xent: the [B, T, V] logits never exist at all.
+
+  Same loss as `lm_loss(unembed_logits(params, x, cfg), ...)` but computed
+  by the flash-style kernels in ops/xent.py — logits live only as
+  [block_m, block_v] f32 VMEM tiles in both passes, so neither the 2.1 GiB
+  f32 logits nor their gradient ever touch HBM (vs lm_loss_fused, which
+  still materializes [B, chunk, V] per scan step). Matmuls run bf16-operand
+  / f32-accum — the reference's own training precision (hero/model_lib.py:
+  1101 runs the projection at activation dtype). Select via
+  cfg.fused_softmax_loss="pallas" in the trainer."""
+  from automl_tpu.ops import xent as xent_ops
+  w = params["embed"] if cfg.tie_embeddings else params["unembed"]
+  return xent_ops.fused_softmax_xent(
+      x, _maybe_dequant(w, jnp.float32), targets, loss_weights,
+      tied=bool(cfg.tie_embeddings),
+      logit_cap=float(cfg.final_logit_cap or 0.0),
+      block_m=int(cfg.get("loss_block_m", 1024) or 1024),
+      block_v=int(cfg.get("loss_block_v", 1024) or 1024))
+
+
 def distill_loss(student_logits, teacher_logits, loss_weights=None,
                  temperature: float = 1.0):
   """KL(teacher || student) distillation (ref: hero/model_lib.py:1306-1330)."""

@@ -88,16 +88,20 @@ def make_lm_train_step(model: lm_lib.TransformerLM, tx,
     aux_w = float(model.cfg.get("moe_aux_loss_weight", 0.0) or 0.0) \
         if model.cfg.get("moe_num_experts") else 0.0
 
-    fused = bool(model.cfg.get("fused_softmax_loss", False))
+    # False | True/"scan" (chunked scan, lm_loss_fused) | "pallas"
+    # (ops/xent.py kernels, lm_loss_fused_pallas)
+    fused = model.cfg.get("fused_softmax_loss", False)
     chunk = int(model.cfg.get("loss_chunk_size", 256))
 
     def loss_fn(params):
       if fused:
-        # chunked unembed+xent: the [B, T, V] logits never materialize
-        # (lm_lib.lm_loss_fused) — same f32 math, T/chunk x less peak HBM
+        # fused unembed+xent: the [B, T, V] logits never materialize
         hidden, _, aux = model(params, inputs, segment_ids=segment_ids,
                                causal_attention=causal_attention,
                                return_aux=True, return_hidden=True)
+        if fused == "pallas":
+          return lm_lib.lm_loss_fused_pallas(
+              params, hidden, targets, model.cfg, weights) + aux_w * aux
         return lm_lib.lm_loss_fused(params, hidden, targets, model.cfg,
                                     weights, chunk) + aux_w * aux
       logits, _, aux = model(params, inputs, segment_ids=segment_ids,

@@ -31,9 +31,9 @@ MODES = {"f32": "float32", "bf16": "bfloat16", "bf16vjp": "bfloat16_vjp"}
 
 # (name, batch, fused, remat, mode)
 POINTS = [
-    ("b8_dots_f32", 8, False, "dots", "f32"),
-    ("b8_dots_bf16", 8, False, "dots", "bf16"),
-    ("b8_dots_bf16vjp", 8, False, "dots", "bf16vjp"),
+    ("b8_dotsflash_f32", 8, False, "dots_flash", "f32"),
+    ("b8_dotsflash_bf16", 8, False, "dots_flash", "bf16"),
+    ("b8_dotsflash_bf16vjp", 8, False, "dots_flash", "bf16vjp"),
     ("b32_fused_f32", 32, True, "full", "f32"),
     ("b32_fused_bf16vjp", 32, True, "full", "bf16vjp"),
 ]

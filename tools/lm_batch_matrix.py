@@ -34,7 +34,7 @@ POINTS = [(b, f, r) for b, f, r in itertools.product(
     (8, 16, 32), (False, True), ("full", "dots"))]
 
 
-def run_child(batch: int, fused: bool, remat: str) -> None:
+def run_child(batch: int, fused, remat: str) -> None:
   sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
   import jax
   import jax.numpy as jnp
@@ -42,10 +42,13 @@ def run_child(batch: int, fused: bool, remat: str) -> None:
   from bench import device_busy_ms_per_call
   from automl_tpu.train import lm_trainer, optimizers as opt_lib
 
-  # remat accepts a "+bf"/"-bf" suffix to force the fused flash backward
-  # kernel (flash_bwd_fused) on/off, e.g. --child 8,False,dots_flash-bf
-  # for the split-kernel control (the model default is now fused=True).
+  # remat accepts suffixes: "+bf"/"-bf" force the fused flash backward
+  # kernel (flash_bwd_fused) on/off (e.g. --child 8,False,dots_flash-bf);
+  # "+nocap" zeroes attn_logit_cap (A/B for the tanh soft-cap VPU cost).
   overrides = {}
+  if remat.endswith("+nocap"):
+    remat = remat[:-6]
+    overrides["attn_logit_cap"] = 0.0
   if remat.endswith("+bf"):
     remat = remat[:-3]
     overrides["flash_bwd_fused"] = True
@@ -53,7 +56,10 @@ def run_child(batch: int, fused: bool, remat: str) -> None:
     remat = remat[:-3]
     overrides["flash_bwd_fused"] = False
   overrides["remat_policy"] = remat
-  if fused:
+  # fused: False | True (chunked scan) | "pallas" (ops/xent.py kernels)
+  if fused == "pallas":
+    overrides.update(fused_softmax_loss="pallas")
+  elif fused:
     overrides.update(fused_softmax_loss=True, loss_chunk_size=256)
   cfg, model, params = bs._lm_model(**overrides)
   tx = opt_lib.build_optimizer("lion", 1e-3)
@@ -93,7 +99,7 @@ def main():
 
   if args.child:
     b, f, r = args.child.split(",")
-    run_child(int(b), f == "True", r)
+    run_child(int(b), f if f == "pallas" else f == "True", r)
     return
 
   wanted = args.points.split(",") if args.points else None

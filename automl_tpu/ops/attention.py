@@ -93,8 +93,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
 
   @pl.when(_block_live(qi, kj, block_q, block_k, causal, window))
   def _compute():
-    q = q_ref[0].astype(jnp.float32) * sm_scale       # [bq, H]
-    k = k_ref[0].astype(jnp.float32)                  # [bk, H]
+    # q/k stay at their input dtype for the s-dot: a bf16 x bf16 MXU pass
+    # with f32 accumulation computes the exact same products as upcasting
+    # bf16 inputs to f32 first, at a fraction of the MXU cost. sm_scale is
+    # applied to the f32 result instead of pre-scaling q.
+    q = q_ref[0]                                      # [bq, H]
+    k = k_ref[0]                                      # [bk, H]
     v = v_ref[0].astype(jnp.float32)                  # [bk, H]
     # zero pad rows of the trailing partial block: they are uninitialized,
     # and even p == 0 can't mask NaNs through the p @ v dot (0 * NaN = NaN)
@@ -103,8 +107,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
     row_valid = k_rows < seq_len
     k = jnp.where(row_valid, k, 0.0)
     v = jnp.where(row_valid, v, 0.0)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [bq, bk]
+    s = sm_scale * jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [bq, bk]
     if logit_cap:
       s = logit_cap * jnp.tanh(s / logit_cap)
     mask = _block_mask(qi, kj, block_q, block_k, causal, window, seq_len,
@@ -205,9 +210,13 @@ def _bwd_compute(q, k, v, g, lse, delta, mask, *, logit_cap, sm_scale):
   """Shared backward math for one (q block, k block) tile.
 
   q, g: [bq, H]; k, v: [bk, H]; lse, delta: [bq, 1]; mask: [bq, bk].
-  Returns (ds_raw [bq, bk] — grad wrt pre-cap scaled logits, p [bq, bk])."""
-  s = jax.lax.dot_general(q * sm_scale, k, (((1,), (1,)), ((), ())),
-                          preferred_element_type=jnp.float32)
+  Operands arrive at their INPUT dtype: the s and dp dots run as
+  bf16 x bf16 MXU passes with f32 accumulation — the exact same products
+  as upcasting first (see _fwd_kernel), with sm_scale folded into the f32
+  result. Returns (ds_raw [bq, bk] — grad wrt pre-cap scaled logits,
+  p [bq, bk]), both f32."""
+  s = sm_scale * jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
   if logit_cap:
     capped = jnp.tanh(s / logit_cap)
     dcap = 1.0 - jnp.square(capped)     # d(cap*tanh(s/cap))/ds
@@ -241,10 +250,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
   @pl.when(_block_live(qi, kj, block_q, block_k, causal, window))
   def _compute():
-    q = q_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    g = g_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     k_rows = kj * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (block_k, 1), 0)
     valid = k_rows < seq_len
@@ -257,7 +266,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     ds, _ = _bwd_compute(q, k, v, g, lse, delta, mask,
                          logit_cap=logit_cap, sm_scale=sm_scale)
     dq_scr[:] = dq_scr[:] + sm_scale * jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
   @pl.when(kj == num_k_blocks - 1)
   def _finalize():
@@ -278,10 +288,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
   @pl.when(_block_live(qi, kj, block_q, block_k, causal, window))
   def _compute():
-    q = q_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    g = g_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     q_rows = qi * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, 1), 0)
     valid = q_rows < seq_len
@@ -295,9 +305,11 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     ds, p = _bwd_compute(q, k, v, g, lse, delta, mask,
                          logit_cap=logit_cap, sm_scale=sm_scale)
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        p, g.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dk_scr[:] = dk_scr[:] + sm_scale * jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
   @pl.when(qi == num_q_blocks - 1)
   def _finalize():
@@ -332,10 +344,10 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
   @pl.when(live)
   def _compute():
-    q = q_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    g = g_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     q_rows = qi * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, 1), 0)
     q_valid = q_rows < seq_len
@@ -354,11 +366,14 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     ds, p = _bwd_compute(q, k, v, g, lse, delta, mask,
                          logit_cap=logit_cap, sm_scale=sm_scale)
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        p, g.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dk_scr[:] = dk_scr[:] + sm_scale * jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dqp_ref[0, 0] = sm_scale * jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
   @pl.when(jnp.logical_not(live))
   def _dead():  # dq partial blocks are write-once: zero the dead ones
